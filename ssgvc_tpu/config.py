@@ -1,0 +1,208 @@
+"""Configuration schema mirroring the reference's OmegaConf dataclasses.
+
+Public surface parity: the same ``video_compression_config.yaml`` keys
+(trainer_seg_video_model.py:386-467) load unchanged; CLI ``key=value`` dotted
+overrides merge on top (we use OmegaConf when available, plain YAML+dataclass
+merge otherwise).
+
+Model configs (DMCIConfig/DMCConfig) match src/refactor/config.py and add
+tiny-profile constructors for tests plus TPU knobs (compute dtype).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# --------------------------- model configs ---------------------------
+
+@dataclass(frozen=True)
+class DMCIConfig:
+    """Intra codec (reference src/refactor/config.py:6-12, image_model.py)."""
+    patch_size: int = 8
+    src: int = 3 * 8 * 8
+    enc_dec: int = 368
+    N: int = 256
+    z_channel: int = 128
+    qp_num: int = 64
+    dtype: str = "float32"  # computation dtype: float32 | bfloat16
+
+    @staticmethod
+    def tiny() -> "DMCIConfig":
+        return DMCIConfig(patch_size=8, src=3 * 8 * 8, enc_dec=32, N=16,
+                          z_channel=8, qp_num=64)
+
+
+@dataclass(frozen=True)
+class DMCConfig:
+    """Inter codec (reference src/refactor/config.py:15-26)."""
+    patch_size: int = 8
+    src: int = 3 * 8 * 8
+    ch_d: int = 256
+    ch_y: int = 128
+    ch_z: int = 128
+    ch_recon: int = 320
+    qp_shift: Tuple[int, int, int] = (0, 8, 4)
+    extra_qp: int = 8
+    qp_num: int = 64
+    dtype: str = "float32"
+    # variant conditioning (replaces the reference's four copied model files):
+    #   mask_mode: none | sft_latent (performance) | film_hyper (fast/mask_prop)
+    #   mask_source: gt | propagated (mask_prop)
+    mask_mode: str = "none"
+    mask_source: str = "gt"
+    # 'old' keeps src/models/video_model.py op-order quirks (encoder 2-block
+    # conv2 stack, decoder quant-after-conv, y padded before SFT-free hyper).
+    legacy_old: bool = False
+
+    @staticmethod
+    def variant(name: str, **kw) -> "DMCConfig":
+        presets = {
+            "old": dict(mask_mode="none", mask_source="gt", legacy_old=True),
+            "plain": dict(mask_mode="none", mask_source="gt"),
+            "performance": dict(mask_mode="sft_latent", mask_source="gt"),
+            "fast": dict(mask_mode="film_hyper", mask_source="gt"),
+            "mask_prop": dict(mask_mode="film_hyper", mask_source="propagated"),
+        }
+        if name not in presets:
+            raise ValueError(
+                f"Unknown dmc_variant={name!r}. Expected one of "
+                f"{sorted(presets)}")
+        return DMCConfig(**{**presets[name], **kw})
+
+    @staticmethod
+    def tiny(**kw) -> "DMCConfig":
+        base = dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+        base.update(kw)
+        return DMCConfig(**base)
+
+
+# --------------------------- training configs ---------------------------
+
+@dataclass
+class OptimizerConfig:
+    optimizer_type: str = "adamw"
+    base_lr: float = 1e-4
+    min_lr: float = 1e-5
+    aux_lr: float = 5e-4
+    weight_decay: float = 0.01
+    warmup_iters: int = 0
+
+
+@dataclass
+class CompressionConfig:
+    lambda_min: float = 50.0
+    lambda_max: float = 38400.0
+    q_levels: int = 64
+    index_map: List[int] = field(default_factory=lambda: [0, 1, 0, 2, 0, 2, 0, 2])
+    weights_map: Dict[int, float] = field(
+        default_factory=lambda: {0: 0.5, 1: 1.2, 2: 0.9})
+
+
+@dataclass
+class DatasetConfig:
+    dataset_type: str = "waymo"
+    data_dir: str = "./dataset/waymo"
+    seg_cache_dir: str = "seg_cache"
+    batch_size: int = 4
+    num_workers: int = 0
+    n_frames: int = 4
+    seq_len: Optional[int] = 4
+    slide: int = 1
+    crop: Any = field(default_factory=lambda: [128, 128])
+    crop_size: Optional[int] = 128
+    yuv_format: str = "444"
+    train_val_test_split: Tuple[float, float, float] = (0.9, 0.1, 0.0)
+    train_split: float = 0.9
+    use_cache: bool = True
+    strict_masks: bool = False
+    synthetic: bool = False           # synthetic frames when no TFRecords exist
+    synthetic_num_clips: int = 64
+
+
+@dataclass
+class TrainConfig:
+    """Top-level schema (reference VideoCompressionConfig,
+    trainer_seg_video_model.py:424-467)."""
+    epochs: int = 25
+    dtype: str = "float32"
+    accumulation_steps: int = 8
+    grad_clip: float = 5.0
+
+    log_interval: int = 50
+    val_check_interval: float = 1.0
+    save_top_k: int = 3
+
+    out_dir: str = "out"
+    image_checkpoint_path: str = ""
+    video_checkpoint_path: str = ""
+    psnrm_target_path: Optional[str] = None
+    psnrm_default_db: float = 35.0
+    dmc_variant: str = "performance"
+    build_cache: bool = False
+    constraint_opt: bool = False
+    mask_train: bool = False
+    mask_fg_weight: float = 4.0
+    roi_weight: float = 100.0         # ROI MSE weight (1 + w*mask)
+
+    exp_name: str = "video-compression-waymo"
+    log_dir: str = "./logs"
+    seed: int = 42
+    precision: str = "bf16-mixed"     # TPU: bf16 compute, fp32 params/entropy
+    num_devices: int = 1
+    resume_from_checkpoint: Optional[str] = None
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    compression: CompressionConfig = field(default_factory=CompressionConfig)
+
+    # ALM / constrained-optimization hyperparams
+    wmse_target: float = 1.0e-3
+    lagr_rho: float = 5.0
+    lagr_ema_alpha: float = 0.05
+    lagr_init_lambda: float = 1.0
+    lagr_lambda_max: float = 1e3
+    alm_penalty_scale: float = 0.3
+
+
+def _merge_into_dataclass(obj, data: dict):
+    for key, value in data.items():
+        if not hasattr(obj, key):
+            continue  # tolerate unknown keys like the reference's schema merge
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _merge_into_dataclass(current, value)
+        else:
+            setattr(obj, key, value)
+    return obj
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[List[str]] = None) -> TrainConfig:
+    """YAML file + dotted CLI overrides -> TrainConfig."""
+    cfg = TrainConfig()
+    data: dict = {}
+    if yaml_path:
+        import yaml
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+    # accept the reference's num_gpus spelling
+    if "num_gpus" in data:
+        data["num_devices"] = data.pop("num_gpus")
+    _merge_into_dataclass(cfg, data)
+    for ov in overrides or []:
+        if "=" not in ov:
+            continue
+        key, _, raw = ov.partition("=")
+        if key == "num_gpus":
+            key = "num_devices"
+        import yaml
+        value = yaml.safe_load(raw)
+        node = cfg
+        parts = key.split(".")
+        for comp in parts[:-1]:
+            node = getattr(node, comp)
+        setattr(node, parts[-1], value)
+    return cfg

@@ -1,0 +1,168 @@
+"""NN building blocks of the codec, as flax.linen modules in NHWC.
+
+TPU-first rebuild of the reference block zoo (src/layers/layers.py):
+  - wsilu / WSiLUChunkAdd  — silu(4x)/4 activation and its gated-FFN variant
+  - DepthConvBlock         — the universal block (1x1 -> WSiLU -> 3x3 dw -> 1x1
+                             residual branch + chunked-FFN branch)
+  - SubpelConv2x           — conv + 2x pixel shuffle upsample
+  - ResidualBlockWithStride2 / ResidualBlockUpsample
+
+Design notes (differences from a naive port):
+  * NHWC activations and HWIO kernels — the native TPU conv layout; XLA keeps
+    channels in the 128-lane dimension and maps 1x1 convs straight onto the MXU.
+  * Explicit submodule names mirror the reference's attribute paths (e.g.
+    ``dc_0`` for torch ``dc.0``) so PyTorch checkpoints map 1:1
+    (see utils/torch_import.py).
+  * A ``dtype`` knob selects the computation dtype (bf16 on TPU for the conv
+    stacks); parameters are always stored fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pixel import pixel_shuffle
+
+Dtype = Any
+
+
+def wsilu(x: jnp.ndarray) -> jnp.ndarray:
+    """silu(4x)/4 — the reference's WSiLU activation (src/layers/layers.py:8)."""
+    return nn.silu(4.0 * x) * 0.25
+
+
+def wsilu_chunk_add(x: jnp.ndarray) -> jnp.ndarray:
+    """WSiLU then split channels in two and add (src/layers/layers.py:12)."""
+    x = wsilu(x)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 + x2
+
+
+class Conv(nn.Module):
+    """2D conv wrapper: NHWC, HWIO kernel, fp32 params, compute in ``dtype``."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: Any = 0
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name, dtype=None):
+    """Bare nn.Conv with our conventions; ``name`` is mandatory for ckpt mapping."""
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=pad,
+        feature_group_count=groups,
+        use_bias=True,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class DepthConvBlock(nn.Module):
+    """Depthwise-conv residual block + gated FFN (src/layers/layers.py:43-79).
+
+    forward: x -> [adaptor] -> (dc(x) + x) -> (ffn(.) + .) [-> + x if shortcut]
+             [-> * quant_step]
+    """
+
+    out_ch: int
+    shortcut: bool = False
+    force_adaptor: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, quant_step: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        if in_ch != self.out_ch or self.force_adaptor:
+            x = conv(self.out_ch, 1, name="adaptor", dtype=self.dtype)(x)
+
+        h = conv(self.out_ch, 1, name="dc_0", dtype=self.dtype)(x)
+        h = wsilu(h)
+        h = conv(self.out_ch, 3, padding=1, groups=self.out_ch, name="dc_2",
+                 dtype=self.dtype)(h)
+        h = conv(self.out_ch, 1, name="dc_3", dtype=self.dtype)(h)
+        out = h + x
+
+        f = conv(self.out_ch * 4, 1, name="ffn_0", dtype=self.dtype)(out)
+        f = wsilu_chunk_add(f)
+        f = conv(self.out_ch, 1, name="ffn_2", dtype=self.dtype)(f)
+        out = f + out
+
+        if self.shortcut:
+            out = out + x
+        if quant_step is not None:
+            out = out * quant_step
+        return out
+
+
+class SubpelConv2x(nn.Module):
+    """conv -> PixelShuffle(2) upsample (src/layers/layers.py:22-40)."""
+
+    out_ch: int
+    kernel_size: int = 1
+    padding: int = 0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = conv(self.out_ch * 4, self.kernel_size, padding=self.padding,
+                 name="conv_0", dtype=self.dtype)(x)
+        return pixel_shuffle(x, 2)
+
+
+class ResidualBlockWithStride2(nn.Module):
+    """2x2 stride-2 conv then a shortcut DepthConvBlock (src/layers/layers.py:81)."""
+
+    out_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = conv(self.out_ch, 2, stride=2, name="down", dtype=self.dtype)(x)
+        return DepthConvBlock(self.out_ch, shortcut=True, name="conv",
+                              dtype=self.dtype)(x)
+
+
+class ResidualBlockUpsample(nn.Module):
+    """Subpel 2x upsample then a shortcut DepthConvBlock (src/layers/layers.py:93)."""
+
+    out_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = SubpelConv2x(self.out_ch, 1, name="up", dtype=self.dtype)(x)
+        return DepthConvBlock(self.out_ch, shortcut=True, name="conv",
+                              dtype=self.dtype)(x)

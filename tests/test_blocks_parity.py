@@ -1,0 +1,118 @@
+"""Numerical parity of layer blocks vs the reference PyTorch implementation.
+
+The reference (mounted read-only at /root/reference) runs on CPU torch as an
+oracle; weights are copied through the generic state_dict converter so these
+tests also exercise utils/torch_import.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssgvc_tpu.layers.blocks import (
+    DepthConvBlock,
+    ResidualBlockUpsample,
+    ResidualBlockWithStride2,
+    SubpelConv2x,
+    wsilu,
+)
+from ssgvc_tpu.utils.torch_import import convert_state_dict, unflatten
+
+from conftest import add_reference_to_path, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference oracle not mounted"
+)
+
+add_reference_to_path()
+torch = pytest.importorskip("torch")
+
+
+def to_nhwc(x):
+    return np.asarray(x).transpose(0, 2, 3, 1)
+
+
+def to_nchw(x):
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+def run_pair(torch_mod, flax_mod, x_nchw, atol=2e-5):
+    torch_mod.eval()
+    with torch.no_grad():
+        ref = torch_mod(torch.from_numpy(x_nchw)).numpy()
+    params = {"params": unflatten(convert_state_dict(torch_mod.state_dict()))}
+    out = flax_mod.apply(params, jnp.asarray(to_nhwc(x_nchw)))
+    np.testing.assert_allclose(to_nchw(out), ref, atol=atol, rtol=1e-5)
+
+
+def test_wsilu():
+    from src.layers.layers import WSiLU
+
+    x = np.random.default_rng(0).normal(size=(2, 7, 5, 3)).astype(np.float32)
+    ref = WSiLU()(torch.from_numpy(x)).numpy()
+    ours = np.asarray(wsilu(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("in_ch,out_ch,shortcut,force", [
+    (8, 8, False, False),
+    (8, 12, False, False),
+    (8, 8, True, True),
+])
+def test_depth_conv_block(in_ch, out_ch, shortcut, force):
+    from src.layers.layers import DepthConvBlock as TorchDCB
+
+    torch.manual_seed(0)
+    tm = TorchDCB(in_ch, out_ch, shortcut=shortcut, force_adaptor=force)
+    fm = DepthConvBlock(out_ch, shortcut=shortcut, force_adaptor=force)
+    x = np.random.default_rng(1).normal(size=(2, in_ch, 16, 16)).astype(np.float32)
+    run_pair(tm, fm, x)
+
+
+def test_depth_conv_block_quant_step():
+    from src.layers.layers import DepthConvBlock as TorchDCB
+
+    torch.manual_seed(1)
+    tm = TorchDCB(8, 8)
+    tm.eval()
+    q = np.random.default_rng(2).uniform(0.5, 1.5, size=(1, 8, 1, 1)).astype(np.float32)
+    x = np.random.default_rng(3).normal(size=(1, 8, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), quant_step=torch.from_numpy(q)).numpy()
+    params = {"params": unflatten(convert_state_dict(tm.state_dict()))}
+    out = DepthConvBlock(8).apply(
+        params, jnp.asarray(to_nhwc(x)), quant_step=jnp.asarray(q[:, :, 0, 0]).reshape(1, 1, 1, 8)
+    )
+    np.testing.assert_allclose(to_nchw(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_subpel_conv2x():
+    from src.layers.layers import SubpelConv2x as TorchSubpel
+
+    torch.manual_seed(2)
+    tm = TorchSubpel(6, 10, 3, padding=1)
+    fm = SubpelConv2x(10, 3, padding=1)
+    x = np.random.default_rng(4).normal(size=(2, 6, 8, 8)).astype(np.float32)
+    run_pair(tm, fm, x)
+
+
+def test_residual_block_stride2():
+    from src.layers.layers import ResidualBlockWithStride2 as TorchRBS
+
+    torch.manual_seed(3)
+    tm = TorchRBS(6, 10)
+    fm = ResidualBlockWithStride2(10)
+    x = np.random.default_rng(5).normal(size=(2, 6, 16, 16)).astype(np.float32)
+    run_pair(tm, fm, x)
+
+
+def test_residual_block_upsample():
+    from src.layers.layers import ResidualBlockUpsample as TorchRBU
+
+    torch.manual_seed(4)
+    tm = TorchRBU(6, 10)
+    fm = ResidualBlockUpsample(10)
+    x = np.random.default_rng(6).normal(size=(2, 6, 8, 8)).astype(np.float32)
+    run_pair(tm, fm, x)

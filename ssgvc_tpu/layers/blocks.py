@@ -70,8 +70,11 @@ class Conv(nn.Module):
         )(x)
 
 
-def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name, dtype=None):
-    """Bare nn.Conv with our conventions; ``name`` is mandatory for ckpt mapping."""
+def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
+         dtype=None):
+    """Bare nn.Conv with our conventions. Pass ``name`` in compact modules;
+    in ``setup()`` the attribute name takes over (flax forbids explicit names
+    there)."""
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]

@@ -1,0 +1,448 @@
+"""DMC — the conditional inter (P-frame) codec, TPU-native, all variants.
+
+One parameterized model replaces the reference's four near-identical files
+(src/models/video_model.py, src/refactor/video_model.py,
+src/refactor/seg_video_model.py, seg_video_model_fast.py,
+mask_prop_seg_video_model.py). Conditioning is selected by DMCConfig:
+
+  mask_mode='none'        baseline DMC ('old' with legacy_old=True, else the
+                          refactor 'plain' rewrite)
+  mask_mode='sft_latent'  'performance': a mask-driven SFT (gamma, beta)
+                          modulates the latent y BEFORE the hyper-encoder and
+                          before checkerboard coding
+                          (src/refactor/seg_video_model.py:327-338)
+  mask_mode='film_hyper'  'fast': a light FiLM conditions only the
+                          hyper-encoder input; the coded y is untouched
+                          (src/refactor/seg_video_model_fast.py:287-325)
+  mask_source='propagated' 'mask_prop': after the first P-frame the mask is
+                          predicted decoder-side by MaskPredictor instead of
+                          transmitted (src/refactor/mask_prop_seg_video_model.py:365-368)
+
+No optical flow / warping anywhere: temporal redundancy flows through the
+decoded feature of the previous frame (dpb) into FeatureExtractor -> (ctx,
+ctx_t) conditioning, exactly like DCVC-RT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import DMCConfig
+from ..layers.blocks import (
+    DepthConvBlock,
+    ResidualBlockUpsample,
+    ResidualBlockWithStride2,
+    SubpelConv2x,
+    conv,
+    wsilu,
+)
+from ..layers.quant import noise_quant, ste_round
+from ..ops.pixel import pixel_shuffle, pixel_unshuffle
+from .common import bpp_from_bits, compress_prior_2x, pad_for_y
+from .entropy import BitEstimator, gaussian_bits, gaussian_bits_cdf
+
+
+class FeatureExtractor(nn.Module):
+    """2 DCB -> (x1, ctx_t = x1*q); 4 more DCB -> ctx
+    (src/models/video_model.py:23-49)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    def setup(self):
+        d = self.cfg.ch_d
+        self.conv1_0 = DepthConvBlock(d, dtype=self.dtype)
+        self.conv1_1 = DepthConvBlock(d, dtype=self.dtype)
+        self.conv2_0 = DepthConvBlock(d, dtype=self.dtype)
+        self.conv2_1 = DepthConvBlock(d, dtype=self.dtype)
+        self.conv2_2 = DepthConvBlock(d, dtype=self.dtype)
+        self.conv2_3 = DepthConvBlock(d, dtype=self.dtype)
+
+    def part1(self, x, quant):
+        x1 = self.conv1_1(self.conv1_0(x))
+        return x1, x1 * quant
+
+    def part2(self, x1):
+        return self.conv2_3(self.conv2_2(self.conv2_1(self.conv2_0(x1))))
+
+    def __call__(self, x, quant):
+        x1, ctx_t = self.part1(x, quant)
+        return self.part2(x1), ctx_t
+
+
+class Encoder(nn.Module):
+    """Contextual analysis transform: unshuffle(8) -> 1x1 -> 3 DCB over
+    cat(x, ctx) -> xq -> s2 conv to ch_y (src/refactor/seg_video_model.py:41-59;
+    legacy naming from src/models/video_model.py:52-75)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, ctx, quant_step):
+        c = self.cfg
+        f = pixel_unshuffle(x, c.patch_size)
+        f = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(f)
+        f = jnp.concatenate([f, ctx], axis=-1)
+        if c.legacy_old:
+            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv3", dtype=self.dtype)(f)
+        else:
+            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv2_2", dtype=self.dtype)(f)
+        f = f * quant_step
+        return conv(c.ch_y, 3, stride=2, padding=1, name="down", dtype=self.dtype)(f)
+
+
+class Decoder(nn.Module):
+    """Contextual synthesis transform. legacy ('old'): up -> 3 DCB(cat ctx)
+    -> 1x1 -> xq (src/models/video_model.py:78-97); refactor: up -> xq ->
+    3 DCB(cat ctx) -> 1x1 (src/refactor/seg_video_model.py:62-77)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, ctx, quant_step):
+        c = self.cfg
+        f = SubpelConv2x(c.ch_d, 3, padding=1, name="up", dtype=self.dtype)(x)
+        if c.legacy_old:
+            f = jnp.concatenate([f, ctx], axis=-1)
+            f = DepthConvBlock(c.ch_d, name="conv1_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv1_1", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv1_2", dtype=self.dtype)(f)
+            f = conv(c.ch_d, 1, name="conv2", dtype=self.dtype)(f)
+            return f * quant_step
+        f = f * quant_step
+        f = jnp.concatenate([f, ctx], axis=-1)
+        f = DepthConvBlock(c.ch_d, name="conv_0", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_d, name="conv_1", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_d, name="conv_2", dtype=self.dtype)(f)
+        return conv(c.ch_d, 1, name="proj", dtype=self.dtype)(f)
+
+
+class ReconGeneration(nn.Module):
+    """feature -> 4 DCB(recon width) -> xq -> 1x1 head -> shuffle(8) -> clamp
+    (src/models/video_model.py:100-120)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, quant_step):
+        c = self.cfg
+        f = DepthConvBlock(c.ch_recon, name="conv_0", dtype=self.dtype)(x)
+        f = DepthConvBlock(c.ch_recon, name="conv_1", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_recon, name="conv_2", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_recon, name="conv_3", dtype=self.dtype)(f)
+        f = f * quant_step
+        f = conv(c.src, 1, name="head", dtype=self.dtype)(f)
+        return jnp.clip(pixel_shuffle(f, c.patch_size), 0.0, 1.0)
+
+
+class HyperEncoder(nn.Module):
+    """DCB -> 2x RBS2, /4 in space (src/models/video_model.py:123-133)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = DepthConvBlock(c.ch_z, name="conv_0", dtype=self.dtype)(x)
+        x = ResidualBlockWithStride2(c.ch_z, name="conv_1", dtype=self.dtype)(x)
+        return ResidualBlockWithStride2(c.ch_z, name="conv_2", dtype=self.dtype)(x)
+
+
+class HyperDecoder(nn.Module):
+    """2x RBU -> DCB to ch_y (src/models/video_model.py:136-146)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = ResidualBlockUpsample(c.ch_z, name="conv_0", dtype=self.dtype)(x)
+        x = ResidualBlockUpsample(c.ch_z, name="conv_1", dtype=self.dtype)(x)
+        return DepthConvBlock(c.ch_y, name="conv_2", dtype=self.dtype)(x)
+
+
+class PriorFusion(nn.Module):
+    """3 DCB + 1x1 over cat(hyper, temporal) -> 3*ch_y params
+    (src/models/video_model.py:149-160)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.cfg.ch_y * 3
+        x = DepthConvBlock(w, name="conv_0", dtype=self.dtype)(x)
+        x = DepthConvBlock(w, name="conv_1", dtype=self.dtype)(x)
+        x = DepthConvBlock(w, name="conv_2", dtype=self.dtype)(x)
+        return conv(w, 1, name="conv_3", dtype=self.dtype)(x)
+
+
+class SpatialPrior(nn.Module):
+    """2 DCB + 1x1: cat(y_hat, params) -> (scales, means)
+    (src/models/video_model.py:163-173)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = DepthConvBlock(c.ch_y * 3, name="conv_0", dtype=self.dtype)(x)
+        x = DepthConvBlock(c.ch_y * 3, name="conv_1", dtype=self.dtype)(x)
+        return conv(c.ch_y * 2, 1, name="conv_2", dtype=self.dtype)(x)
+
+
+class SFT(nn.Module):
+    """Mask SFT for the 'performance' variant: mirrors the Encoder on the
+    pixel-unshuffled mask, xq_sft, s2 conv to 2*ch_y -> (gamma, beta)
+    (src/refactor/seg_video_model.py:159-196)."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, mask, q_sft):
+        c = self.cfg
+        x = pixel_unshuffle(mask, c.patch_size)
+        x = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(x)
+        x = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(x)
+        x = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(x)
+        x = DepthConvBlock(c.ch_d, name="conv2_2", dtype=self.dtype)(x)
+        x = x * q_sft
+        x = conv(c.ch_y * 2, 3, stride=2, padding=1, name="down", dtype=self.dtype)(x)
+        gamma, beta = jnp.split(x, 2, axis=-1)
+        return gamma, beta
+
+
+class MaskFiLM(nn.Module):
+    """Light mask FiLM for 'fast'/'mask_prop': 3x3 -> ReLU -> 1x1 to 2*ch_y
+    (src/refactor/seg_video_model_fast.py:159-180)."""
+
+    ch_y: int
+    mid: int = 16
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, m):
+        x = conv(self.mid, 3, padding=1, name="net_0", dtype=self.dtype)(m)
+        x = nn.relu(x)
+        x = conv(self.ch_y * 2, 1, name="net_2", dtype=self.dtype)(x)
+        gamma, beta = jnp.split(x, 2, axis=-1)
+        return gamma, beta
+
+
+class MaskPredictor(nn.Module):
+    """Decoder-side mask propagation FCN (src/refactor/mask_predictor.py:7-46):
+    bilinear-down prev mask to ctx res, embed, fuse with (ctx, ctx_t),
+    predict logits, bilinear-up back."""
+
+    cfg: DMCConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, prev_mask, ctx, ctx_t):
+        c = self.cfg
+        mid = c.ch_d // 4
+        b, hm, wm, _ = prev_mask.shape
+        hf, wf = ctx.shape[1], ctx.shape[2]
+        m = jax.image.resize(prev_mask, (b, hf, wf, 1), method="bilinear")
+        m = conv(c.ch_d, 3, padding=1, name="mask_embed", dtype=self.dtype)(m)
+        fused = jnp.concatenate([m, ctx, ctx_t], axis=-1)
+        x = conv(mid, 3, padding=1, name="net_0", dtype=self.dtype)(fused)
+        x = wsilu(x)
+        x = conv(mid, 3, padding=1, name="net_2", dtype=self.dtype)(x)
+        x = wsilu(x)
+        logits = conv(1, 1, name="net_4", dtype=self.dtype)(x)
+        if (hf, wf) != (hm, wm):
+            logits = jax.image.resize(logits, (b, hm, wm, 1), method="bilinear")
+        return logits
+
+
+class DMC(nn.Module):
+    """Unified conditional P-frame codec."""
+
+    cfg: DMCConfig = DMCConfig()
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else None
+
+    def setup(self):
+        c = self.cfg
+        dt = self.dtype
+        qp_total = c.qp_num + c.extra_qp
+        self.feature_adaptor_i = DepthConvBlock(c.ch_d, dtype=dt)
+        self.feature_adaptor_p = conv(c.ch_d, 1, dtype=dt)
+        self.feature_extractor = FeatureExtractor(c, dtype=dt)
+        self.encoder = Encoder(c, dtype=dt)
+        self.hyper_encoder = HyperEncoder(c, dtype=dt)
+        self.hyper_decoder = HyperDecoder(c, dtype=dt)
+        self.temporal_prior_encoder = ResidualBlockWithStride2(c.ch_y * 2, dtype=dt)
+        self.y_prior_fusion = PriorFusion(c, dtype=dt)
+        self.y_spatial_prior = SpatialPrior(c, dtype=dt)
+        self.decoder = Decoder(c, dtype=dt)
+        self.recon_generation_net = ReconGeneration(c, dtype=dt)
+
+        if c.mask_mode == "sft_latent":
+            self.mask_sft = SFT(c, dtype=dt)
+            self.q_sft = self.param("q_sft", nn.initializers.ones,
+                                    (qp_total, c.ch_d))
+        elif c.mask_mode == "film_hyper":
+            self.mask_film = MaskFiLM(c.ch_y, dtype=dt)
+        if c.mask_source == "propagated":
+            self.mask_predictor = MaskPredictor(c, dtype=dt)
+
+        self.q_encoder = self.param("q_encoder", nn.initializers.ones,
+                                    (qp_total, c.ch_d))
+        self.q_decoder = self.param("q_decoder", nn.initializers.ones,
+                                    (qp_total, c.ch_d))
+        self.q_feature = self.param("q_feature", nn.initializers.ones,
+                                    (qp_total, c.ch_d))
+        self.q_recon = self.param("q_recon", nn.initializers.ones,
+                                  (qp_total, c.ch_recon))
+        self.bit_estimator_z = BitEstimator(qp_total, c.ch_z)
+
+    # -- helpers -----------------------------------------------------------
+
+    def shift_qp(self, qp, fa_idx):
+        """qp + qp_shift[fa_idx]; fa_idx may be traced
+        (src/models/video_model.py:335-336)."""
+        shift = jnp.asarray(self.cfg.qp_shift, dtype=jnp.int32)
+        return qp + jnp.take(shift, fa_idx)
+
+    def apply_feature_adaptor(self, dpb: Dict[str, jnp.ndarray], after_i):
+        """Select the I- or P-frame feature adaptor.
+
+        ``after_i`` may be a traced bool; both branches are cheap relative to
+        the rest of the network, and in the GOP scan we keep it static per
+        step when possible. dpb carries both 'frame' and 'feature'.
+        """
+        c = self.cfg
+        feat_i = lambda: self.feature_adaptor_i(
+            pixel_unshuffle(dpb["frame"], c.patch_size))
+        feat_p = lambda: self.feature_adaptor_p(dpb["feature"])
+        if isinstance(after_i, bool):
+            return feat_i() if after_i else feat_p()
+        return jnp.where(after_i, feat_i(), feat_p())
+
+    def res_prior_param_decoder(self, z_hat, ctx_t):
+        hierarchical = self.hyper_decoder(z_hat)
+        temporal = self.temporal_prior_encoder(ctx_t)
+        h, w = temporal.shape[1], temporal.shape[2]
+        hierarchical = hierarchical[:, :h, :w, :]
+        return self.y_prior_fusion(jnp.concatenate([hierarchical, temporal], axis=-1))
+
+    def _mask_to_latent_res(self, mask, y):
+        """Average-pool the mask to y's spatial resolution (the reference's
+        adaptive_avg_pool2d with integer ratio)."""
+        b, hm, wm, _ = mask.shape
+        hy, wy = y.shape[1], y.shape[2]
+        fh, fw = hm // hy, wm // wy
+        m = mask[:, : hy * fh, : wy * fw, :]
+        m = m.reshape(b, hy, fh, wy, fw, 1).mean(axis=(2, 4))
+        return jnp.clip(m, 0.0, 1.0)
+
+    def _hyper_input(self, y, mask):
+        """Variant-dependent hyper-encoder input."""
+        c = self.cfg
+        if c.mask_mode == "film_hyper":
+            # fast/mask_prop: pad y, FiLM with the (pooled, zero-padded) mask
+            # (src/refactor/seg_video_model_fast.py:287-325)
+            y_pad = pad_for_y(y)
+            m = self._mask_to_latent_res(mask, y)
+            pad_b = y_pad.shape[1] - y.shape[1]
+            pad_r = y_pad.shape[2] - y.shape[2]
+            if pad_b or pad_r:
+                m = jnp.pad(m, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            gamma, beta = self.mask_film(m)
+            return y_pad * (1.0 + gamma) + beta
+        if c.mask_mode == "sft_latent":
+            # performance: y is already SFT-modulated; hyper input is raw y
+            # (src/refactor/seg_video_model.py:331)
+            return y
+        return pad_for_y(y)
+
+    # -- forward -----------------------------------------------------------
+
+    def __call__(self, x: jnp.ndarray, qp: jnp.ndarray,
+                 dpb: Dict[str, jnp.ndarray], after_i=True,
+                 mask: Optional[jnp.ndarray] = None, train: bool = False):
+        """x: (B, H, W, 3) YCbCr; mask: (B, H, W, 1) or None; qp: int32.
+
+        Returns {'dpb': {'frame', 'feature'}, 'bpp', 'bpp_y', 'bpp_z',
+        'mask_pred'} — estimated-bpp training path
+        (src/refactor/seg_video_model.py:301-365 and variants).
+        """
+        c = self.cfg
+        if mask is None:
+            mask = jnp.zeros(x.shape[:3] + (1,), x.dtype)
+
+        q_encoder = jnp.take(self.q_encoder, qp, axis=0).reshape(1, 1, 1, -1)
+        q_decoder = jnp.take(self.q_decoder, qp, axis=0).reshape(1, 1, 1, -1)
+        q_feature = jnp.take(self.q_feature, qp, axis=0).reshape(1, 1, 1, -1)
+        q_recon = jnp.take(self.q_recon, qp, axis=0).reshape(1, 1, 1, -1)
+
+        feature = self.apply_feature_adaptor(dpb, after_i)
+        ctx, ctx_t = self.feature_extractor(feature, q_feature)
+        y = self.encoder(x, ctx, q_encoder)
+
+        mask_pred = None
+        current_mask = mask
+        if c.mask_source == "propagated":
+            # after the first P-frame, the decoder-side prediction replaces
+            # the transmitted mask (mask_prop_seg_video_model.py:365-368)
+            pred_logits = self.mask_predictor(mask, ctx, ctx_t)
+            if isinstance(after_i, bool):
+                current_mask = mask if after_i else pred_logits
+            else:
+                current_mask = jnp.where(after_i, mask, pred_logits)
+            mask_pred = pred_logits
+
+        if c.mask_mode == "sft_latent":
+            q_sft = jnp.take(self.q_sft, qp, axis=0).reshape(1, 1, 1, -1)
+            gamma, beta = self.mask_sft(current_mask, q_sft)
+            y = y * (1.0 + gamma) + beta
+
+        z = self.hyper_encoder(self._hyper_input(y, current_mask))
+        z_hat = ste_round(z)
+        rng = self.make_rng("noise") if train else None
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        z_hat_write = noise_quant(z, rngs[0], train)
+
+        params = self.res_prior_param_decoder(z_hat, ctx_t)
+        prior = compress_prior_2x(y, params, self.y_spatial_prior,
+                                  rngs[1], train)
+
+        feature_out = self.decoder(prior.y_hat, ctx, q_decoder)
+        x_hat = self.recon_generation_net(feature_out, q_recon)
+
+        pixel_num = x.shape[1] * x.shape[2]
+        if c.legacy_old:
+            bits_y = gaussian_bits_cdf(prior.y_q_hat_write, prior.scales_hat)
+        else:
+            y_for_bit = jnp.clip(prior.y_q_hat_write, -6.0, 6.0)
+            bits_y = gaussian_bits(y_for_bit, prior.scales_hat)
+        bits_z = self.bit_estimator_z.bits(z_hat_write, qp)
+        bpp_y = bpp_from_bits(bits_y, pixel_num)
+        bpp_z = bpp_from_bits(bits_z, pixel_num)
+
+        return {
+            "dpb": {"frame": x_hat, "feature": feature_out},
+            "bpp": bpp_y + bpp_z,
+            "bpp_y": bpp_y,
+            "bpp_z": bpp_z,
+            "mask_pred": mask_pred,
+        }

@@ -89,6 +89,28 @@ def flatten(tree, prefix: Tuple[str, ...] = ()) -> FlatParams:
     return out
 
 
+def align_params(flat_src: FlatParams, params_template) -> dict:
+    """Fill a flax params template from converted torch params.
+
+    Keys present in the torch checkpoint but absent from the model (e.g. the
+    reference's dead ``hyper_in_adapter``, seg_video_model.py:225) are
+    dropped; keys the model needs but the checkpoint lacks raise.
+    """
+    template_flat = flatten(params_template)
+    missing = [k for k in template_flat if k not in flat_src]
+    if missing:
+        raise KeyError(f"checkpoint missing {len(missing)} params, e.g. "
+                       f"{missing[:5]}")
+    picked: FlatParams = {}
+    for key, tmpl in template_flat.items():
+        arr = flat_src[key]
+        if tuple(arr.shape) != tuple(tmpl.shape):
+            raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "
+                             f"model {tmpl.shape}")
+        picked[key] = arr
+    return unflatten(picked)
+
+
 def normalize_prefix(state_dict: Mapping[str, object], target_keys) -> Dict[str, object]:
     """Strip/choose the checkpoint key prefix maximizing overlap with target_keys.
 

@@ -1,0 +1,173 @@
+"""Full-model numerical parity vs the reference PyTorch models (eval mode).
+
+Eval mode makes both quantizer twins deterministic (hard round), so whole
+forward passes compare directly. Weights flow through the generic converter.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssgvc_tpu.config import DMCConfig, DMCIConfig
+from ssgvc_tpu.models.dmc import DMC
+from ssgvc_tpu.models.dmci import DMCI
+from ssgvc_tpu.utils.torch_import import align_params, convert_state_dict
+
+from conftest import add_reference_to_path, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference oracle not mounted"
+)
+
+add_reference_to_path()
+torch = pytest.importorskip("torch")
+
+
+def nhwc(x):
+    return np.asarray(x).transpose(0, 2, 3, 1)
+
+
+def import_torch_weights(torch_model, flax_model, example_inputs):
+    variables = flax_model.init(jax.random.PRNGKey(0), *example_inputs["args"],
+                                **example_inputs.get("kwargs", {}))
+    flat = convert_state_dict(torch_model.state_dict())
+    params = align_params(flat, variables["params"])
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# DMC variants (tiny config)
+# --------------------------------------------------------------------------
+
+TINY = dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+
+
+def _torch_dmc(variant):
+    from src.refactor.config import DMCConfig as TorchCfg
+
+    cfg = TorchCfg(**TINY)
+    if variant == "performance":
+        from src.refactor.seg_video_model import DMC as TorchDMC
+    elif variant == "fast":
+        from src.refactor.seg_video_model_fast import DMC as TorchDMC
+    elif variant == "mask_prop":
+        from src.refactor.mask_prop_seg_video_model import DMC as TorchDMC
+    else:
+        from src.refactor.video_model import DMC as TorchDMC
+    torch.manual_seed(7)
+    return TorchDMC(cfg)
+
+
+def _run_torch_dmc(tm, x4, qp, dpb_frame, dpb_feature, after_i):
+    tm.eval()
+    dpb = {"frame": torch.from_numpy(dpb_frame) if dpb_frame is not None else None,
+           "feature": torch.from_numpy(dpb_feature) if dpb_feature is not None else None}
+    with torch.no_grad():
+        return tm(torch.from_numpy(x4), qp, dpb, after_i=after_i)
+
+
+@pytest.mark.parametrize("variant,after_i", [
+    ("plain", True),
+    ("plain", False),
+    ("performance", True),
+    ("fast", True),
+    ("mask_prop", False),
+])
+def test_dmc_variant_parity(variant, after_i):
+    rng = np.random.default_rng(11)
+    H = W = 64
+    frame = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (1, 1, H, W)) > 0.5).astype(np.float32)
+    ref_frame = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    ref_feature = rng.normal(size=(1, TINY["ch_d"], H // 8, W // 8)).astype(np.float32)
+    qp = 32
+
+    tm = _torch_dmc(variant)
+    x4 = np.concatenate([frame, mask], axis=1) if variant != "plain" else frame
+    ref = _run_torch_dmc(tm, x4, qp,
+                         ref_frame if after_i else None,
+                         None if after_i else ref_feature, after_i)
+
+    cfg = DMCConfig.variant(variant, **TINY)
+    fm = DMC(cfg)
+    dpb = {"frame": jnp.asarray(nhwc(ref_frame)),
+           "feature": jnp.asarray(nhwc(ref_feature))}
+    args = (jnp.asarray(nhwc(frame)), jnp.int32(qp), dpb)
+    kwargs = dict(after_i=after_i, mask=jnp.asarray(nhwc(mask)), train=False)
+    variables = import_torch_weights(tm, fm, {"args": args, "kwargs": kwargs})
+    out = fm.apply(variables, *args, **kwargs)
+
+    np.testing.assert_allclose(
+        nhwc(ref["dpb"]["frame"].numpy()), np.asarray(out["dpb"]["frame"]),
+        atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        nhwc(ref["dpb"]["feature"].numpy()), np.asarray(out["dpb"]["feature"]),
+        atol=5e-4, rtol=1e-4)
+    # The erf bit estimate is steep around small random-init scales, so tiny
+    # fp32 activation diffs amplify; exact bits math is covered by
+    # test_entropy_parity.py.
+    np.testing.assert_allclose(ref["bpp_y"].numpy(), np.asarray(out["bpp_y"]),
+                               atol=3e-3, rtol=1.5e-2)
+    np.testing.assert_allclose(ref["bpp_z"].numpy(), np.asarray(out["bpp_z"]),
+                               atol=3e-3, rtol=1.5e-2)
+
+
+def test_dmc_old_parity():
+    """The 'old' baseline uses the hardcoded full-width reference model."""
+    from src.models.video_model import DMC as TorchDMCOld
+
+    torch.manual_seed(3)
+    tm = TorchDMCOld()
+    rng = np.random.default_rng(5)
+    H = W = 64
+    frame = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    ref_frame = rng.uniform(0, 1, (1, 3, H, W)).astype(np.float32)
+    qp = 40
+
+    ref = _run_torch_dmc(tm, frame, qp, ref_frame, None, True)
+
+    cfg = DMCConfig.variant("old")
+    fm = DMC(cfg)
+    dpb = {"frame": jnp.asarray(nhwc(ref_frame)),
+           "feature": jnp.zeros((1, H // 8, W // 8, cfg.ch_d), jnp.float32)}
+    args = (jnp.asarray(nhwc(frame)), jnp.int32(qp), dpb)
+    kwargs = dict(after_i=True, mask=None, train=False)
+    variables = import_torch_weights(tm, fm, {"args": args, "kwargs": kwargs})
+    out = fm.apply(variables, *args, **kwargs)
+
+    np.testing.assert_allclose(
+        nhwc(ref["dpb"]["frame"].numpy()), np.asarray(out["dpb"]["frame"]),
+        atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(ref["bpp"].numpy(), np.asarray(out["bpp"]),
+                               atol=2e-3, rtol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# DMCI (full-width reference intra model)
+# --------------------------------------------------------------------------
+
+def test_dmci_parity():
+    from src.models.image_model import DMCI as TorchDMCI
+
+    torch.manual_seed(9)
+    tm = TorchDMCI()
+    tm.eval()
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    qp = 21
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), qp)
+
+    fm = DMCI(DMCIConfig())
+    args = (jnp.asarray(nhwc(x)), jnp.int32(qp))
+    variables = import_torch_weights(tm, fm, {"args": args,
+                                              "kwargs": dict(train=False)})
+    out = fm.apply(variables, *args, train=False)
+
+    np.testing.assert_allclose(
+        nhwc(ref["dpb"]["frame"].numpy()), np.asarray(out["dpb"]["frame"]),
+        atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(ref["bpp"].numpy(), np.asarray(out["bpp"]),
+                               atol=2e-3, rtol=2e-3)

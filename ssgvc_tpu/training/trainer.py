@@ -1,0 +1,372 @@
+"""Training system: GOP rollout in one jitted graph, 3-optimizer split, DP mesh.
+
+TPU-native rebuild of the reference's VideoCompressionTrainer
+(trainer_seg_video_model.py:471-1408):
+
+  * The Python per-frame loop with manual backward + grad accumulation
+    becomes ONE jitted graph: frame 0 through the frozen DMCI under
+    stop_gradient, frame 1 with after_i=True, frames 2..T-1 as a
+    ``lax.scan``. The reference detaches the DPB between frames
+    (:1165-1166), so per-frame losses have no cross-frame gradient paths and
+    summing them in one backward is mathematically identical to its
+    accumulated micro-steps.
+  * The backbone/probe/aux 3-optimizer split (:1325-1351) becomes an
+    ``optax.multi_transform`` over param labels — backbone at 0.3x the cosine
+    LR and 0.5x weight decay, probe (mask_sft/q_sft/mask_predictor) at full
+    LR, aux (bit_estimator) at a fixed aux LR.
+  * Global-norm grad clip 5.0 before the transforms (:1124).
+  * DDP -> data-parallel ``jit`` over a 'data' mesh axis; params replicated,
+    XLA inserts the gradient all-reduce.
+  * Per-frame ``jax.checkpoint`` (remat) bounds memory for long GOPs.
+  * ALM constrained mode (CONSTRAINT_OPT) and mask-train mode (MASK_TRAIN)
+    are config flags; the ALM dual state lives in TrainState. The reference's
+    ``loss =+ bce`` assignment bug (:1095) is implemented as the intended
+    ``loss += bce``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DMCConfig, DMCIConfig, TrainConfig
+from ..models.dmc import DMC
+from ..models.dmci import DMCI
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .loss import (
+    alm_deadzone_penalty,
+    alm_dual_update,
+    init_psnrm_schedule,
+    mse_from_psnr_db,
+    psnr_from_mse,
+    rate_distortion_loss,
+    roi_mse,
+)
+from .schedule import warmup_cosine
+
+
+def param_label(path: Tuple[str, ...]) -> str:
+    """backbone / probe / aux split (trainer_seg_video_model.py:573-591)."""
+    joined = "/".join(str(p) for p in path)
+    if "bit_estimator" in joined:
+        return "aux"
+    if "mask_sft" in joined or "q_sft" in joined or "mask_predictor" in joined:
+        return "probe"
+    return "backbone"
+
+
+class TrainState(NamedTuple):
+    params_p: Any          # trainable P-model params
+    params_i: Any          # frozen I-model params
+    opt_state: Any
+    step: jnp.ndarray
+    alm_mu: jnp.ndarray
+    alm_h_accum: jnp.ndarray
+    alm_h_count: jnp.ndarray
+
+
+class Trainer:
+    """Owns the models, the optimizer and the jitted train/eval steps."""
+
+    def __init__(self, cfg: TrainConfig, total_iters: int = 10000,
+                 dmc_cfg: Optional[DMCConfig] = None,
+                 dmci_cfg: Optional[DMCIConfig] = None,
+                 mesh=None):
+        self.cfg = cfg
+        dtype = "bfloat16" if "bf16" in cfg.precision else "float32"
+        self.dmc_cfg = dmc_cfg or DMCConfig.variant(cfg.dmc_variant, dtype=dtype)
+        self.dmci_cfg = dmci_cfg or DMCIConfig(dtype=dtype)
+        self.dmc = DMC(self.dmc_cfg)
+        self.dmci = DMCI(self.dmci_cfg)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+
+        self.index_map = jnp.asarray(cfg.compression.index_map, jnp.int32)
+        wm = cfg.compression.weights_map
+        self.weights_arr = jnp.asarray(
+            [wm[k] for k in sorted(wm)], jnp.float32)
+        self.psnrm_targets = init_psnrm_schedule(
+            cfg.psnrm_target_path, cfg.psnrm_default_db)
+
+        sched = warmup_cosine(cfg.optimizer.base_lr, cfg.optimizer.min_lr,
+                              cfg.optimizer.warmup_iters, total_iters)
+        wd = cfg.optimizer.weight_decay
+        opt = cfg.optimizer.optimizer_type.lower()
+
+        def make(lr, weight_decay):
+            if opt == "adamw":
+                return optax.adamw(lr, weight_decay=weight_decay)
+            if opt == "adam":
+                # torch Adam applies weight decay as L2-in-gradient
+                return optax.chain(optax.add_decayed_weights(weight_decay),
+                                   optax.adam(lr))
+            if opt == "lion":
+                return optax.lion(lr, weight_decay=weight_decay)
+            raise ValueError(f"unknown optimizer {opt!r}")
+
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.multi_transform(
+                {
+                    "backbone": make(lambda s: 0.3 * sched(s), wd * 0.5),
+                    "probe": make(sched, wd),
+                    "aux": make(cfg.optimizer.aux_lr, wd),
+                },
+                self._labels,
+            ),
+        )
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ init
+
+    @staticmethod
+    def _labels(params):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        flat = flatten_dict(params)
+        return unflatten_dict({k: param_label(k) for k in flat})
+
+    def example_batch(self, batch_size=2, seq_len=4, hw=(64, 64)):
+        h, w = hw
+        frames = jnp.zeros((batch_size, seq_len, h, w, 3), jnp.float32)
+        masks = jnp.zeros((batch_size, seq_len, h, w, 1), jnp.float32)
+        return {"frames": frames, "masks": masks}
+
+    def init_state(self, rng: jax.Array, batch: Optional[Dict] = None,
+                   params_p=None, params_i=None) -> TrainState:
+        batch = batch or self.example_batch()
+        frames, masks = batch["frames"], batch["masks"]
+        b, _, h, w, _ = frames.shape
+        r_i, r_p, r_n = jax.random.split(rng, 3)
+        if params_i is None:
+            params_i = self.dmci.init(
+                {"params": r_i}, frames[:, 0], jnp.int32(0), train=False
+            )["params"]
+        if params_p is None:
+            dpb = {
+                "frame": frames[:, 0],
+                "feature": jnp.zeros(
+                    (b, h // self.dmc_cfg.patch_size, w // self.dmc_cfg.patch_size,
+                     self.dmc_cfg.ch_d), jnp.float32),
+            }
+            params_p = self.dmc.init(
+                {"params": r_p, "noise": r_n}, frames[:, 1], jnp.int32(0), dpb,
+                after_i=jnp.bool_(True), mask=masks[:, 1], train=False
+            )["params"]
+        opt_state = self.tx.init(params_p)
+        state = TrainState(
+            params_p=params_p, params_i=params_i, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            alm_mu=jnp.zeros((), jnp.float32),
+            alm_h_accum=jnp.zeros((), jnp.float32),
+            alm_h_count=jnp.zeros((), jnp.float32),
+        )
+        return replicate(self.mesh, state)
+
+    # ------------------------------------------------------------- GOP loss
+
+    def _p_frame_losses(self, params_p, frames, masks, qp, dpb, rng,
+                        train: bool, eval_mode: bool, alm_mu):
+        """Roll P-frames 1..T-1; returns (per-frame metric stack, extras)."""
+        cfg = self.cfg
+        seq_len = frames.shape[1]
+        comp = cfg.compression
+        mask_in = None if eval_mode else masks  # eval feeds 3ch only (:1238)
+
+        def frame_step(dpb, t, after_i, rng_t):
+            fa_idx = self.index_map[t % 8]
+            curr_qp = qp + jnp.take(
+                jnp.asarray(self.dmc_cfg.qp_shift, jnp.int32), fa_idx)
+            w_t = jnp.where(eval_mode, 1.0, self.weights_arr[fa_idx])
+            frame = frames[:, t]
+            gt_mask = masks[:, t]
+            m_in = None if mask_in is None else mask_in[:, t]
+
+            apply = self.dmc.apply
+            if train:
+                apply = functools.partial(apply, rngs={"noise": rng_t})
+            variables = {"params": params_p}
+            out = apply(variables, frame, curr_qp, dpb, after_i=after_i,
+                        mask=m_in, train=train)
+
+            if cfg.constraint_opt:
+                rd = rate_distortion_loss(out, frame, qp, w_t,
+                                          comp.lambda_min, comp.lambda_max,
+                                          comp.q_levels, mask=None,
+                                          roi_weight=cfg.roi_weight)
+                rate = rd.bpp_y + rd.bpp_z
+                qp_eff = jnp.clip(curr_qp, 0, 63)
+                tau = mse_from_psnr_db(jnp.take(self.psnrm_targets, qp_eff))
+                g = (roi_mse(out["dpb"]["frame"], frame, gt_mask) - tau) / (tau + 1e-12)
+                loss = rate + cfg.alm_penalty_scale * alm_deadzone_penalty(
+                    g, cfg.lagr_rho)
+                rd = rd._replace(loss=loss)
+            else:
+                rd = rate_distortion_loss(out, frame, qp, w_t,
+                                          comp.lambda_min, comp.lambda_max,
+                                          comp.q_levels, mask=gt_mask,
+                                          roi_weight=cfg.roi_weight)
+                g = jnp.zeros(())
+
+            loss = rd.loss
+            if cfg.mask_train and out.get("mask_pred") is not None:
+                bce = jnp.mean(optax.sigmoid_binary_cross_entropy(
+                    out["mask_pred"].astype(jnp.float32), gt_mask))
+                # intended accumulation (the reference has `loss =+ bce`,
+                # trainer_seg_video_model.py:1095 — a known bug)
+                loss = loss + bce
+
+            metrics = jnp.stack([loss, rd.bpp, rd.bpp_y, rd.bpp_z, rd.mse,
+                                 rd.prev_obj, g])
+            new_dpb = jax.tree_util.tree_map(jax.lax.stop_gradient, out["dpb"])
+            return new_dpb, metrics
+
+        rngs = jax.random.split(rng, seq_len)
+        # frame 1: after_i static True
+        step1 = frame_step
+        if not eval_mode:
+            step1 = jax.checkpoint(frame_step, static_argnums=(2,))
+        dpb, m1 = step1(dpb, 1, True, rngs[1])
+
+        if seq_len > 2:
+            def scan_body(carry_dpb, xs):
+                t, rng_t = xs
+                fn = frame_step
+                if not eval_mode:
+                    fn = jax.checkpoint(frame_step, static_argnums=(2,))
+                return fn(carry_dpb, t, False, rng_t)
+
+            ts = jnp.arange(2, seq_len)
+            dpb, m_rest = jax.lax.scan(scan_body, dpb, (ts, rngs[2:seq_len]))
+            metrics = jnp.concatenate([m1[None], m_rest], axis=0)
+        else:
+            metrics = m1[None]
+        return metrics, dpb
+
+    def gop_loss(self, params_p, params_i, frames, masks, qp, rng,
+                 train: bool, eval_mode: bool, alm_mu):
+        """Full GOP: I-frame (frozen) then P-frames. Returns (scalar loss,
+        aux metrics dict)."""
+        i_out = self.dmci.apply({"params": params_i}, frames[:, 0], qp,
+                                train=False)
+        dpb = {
+            "frame": jax.lax.stop_gradient(i_out["dpb"]["frame"]),
+            "feature": jnp.zeros(
+                frames.shape[0:1] +
+                (frames.shape[2] // self.dmc_cfg.patch_size,
+                 frames.shape[3] // self.dmc_cfg.patch_size,
+                 self.dmc_cfg.ch_d), frames.dtype),
+        }
+        metrics, _ = self._p_frame_losses(params_p, frames, masks, qp, dpb,
+                                          rng, train, eval_mode, alm_mu)
+        mean = metrics.mean(axis=0)
+        aux = {
+            "loss": mean[0], "bpp": mean[1], "bpp_y": mean[2],
+            "bpp_z": mean[3], "mse": mean[4], "prev_obj": mean[5],
+            "g_mean": mean[6], "psnr": psnr_from_mse(mean[5]),
+            "i_bpp": jnp.mean(i_out["bpp"]),
+        }
+        return mean[0], aux
+
+    # ------------------------------------------------------------ jit steps
+
+    def train_step(self, state: TrainState, batch: Dict, qp: jnp.ndarray,
+                   rng: jax.Array):
+        def loss_fn(params_p):
+            return self.gop_loss(params_p, state.params_i, batch["frames"],
+                                 batch["masks"], qp, rng, train=True,
+                                 eval_mode=False, alm_mu=state.alm_mu)
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params_p)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params_p)
+        params_p = optax.apply_updates(state.params_p, updates)
+
+        alm_mu, h_accum, h_count = state.alm_mu, state.alm_h_accum, state.alm_h_count
+        if self.cfg.constraint_opt:
+            h_accum = h_accum + aux["g_mean"]
+            h_count = h_count + 1.0
+            alm_mu, h_accum, h_count = alm_dual_update(
+                alm_mu, h_accum, h_count, self.cfg.lagr_rho)
+
+        new_state = TrainState(params_p, state.params_i, opt_state,
+                               state.step + 1, alm_mu, h_accum, h_count)
+        return new_state, aux
+
+    def eval_step(self, state: TrainState, batch: Dict, qp: jnp.ndarray,
+                  rng: jax.Array):
+        _, aux = self.gop_loss(state.params_p, state.params_i,
+                               batch["frames"], batch["masks"], qp, rng,
+                               train=False, eval_mode=True,
+                               alm_mu=state.alm_mu)
+        return aux
+
+    def jit_train_step(self):
+        if self._train_step is None:
+            self._train_step = jax.jit(self.train_step, donate_argnums=(0,))
+        return self._train_step
+
+    def jit_eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = jax.jit(self.eval_step)
+        return self._eval_step
+
+    # ------------------------------------------------------------- fit loop
+
+    def fit(self, train_iter, val_iter=None, steps: int = 100,
+            val_every: int = 0, log_every: int = 10, seed: int = 0,
+            logger=None, state: Optional[TrainState] = None):
+        """Minimal host-side loop: random qp per batch (0..63), shard batch,
+        step, log. Returns the final state."""
+        rng = jax.random.PRNGKey(seed)
+        if state is None:
+            first = next(train_iter)
+            state = self.init_state(rng, shard_batch(self.mesh, first))
+            train_step = self.jit_train_step()
+            batches = [first]
+        else:
+            train_step = self.jit_train_step()
+            batches = []
+
+        host_rng = np.random.default_rng(seed)
+        for step in range(steps):
+            batch = batches.pop() if batches else next(train_iter)
+            batch = shard_batch(self.mesh, batch)
+            qp = jnp.int32(host_rng.integers(0, 64))
+            rng, step_rng = jax.random.split(rng)
+            state, aux = train_step(state, batch, qp, step_rng)
+            if logger is not None and step % log_every == 0:
+                logger.log_train(step, {k: float(v) for k, v in aux.items()})
+            if val_iter is not None and val_every and (step + 1) % val_every == 0:
+                self.validate(state, val_iter, logger=logger, step=step,
+                              seed=seed + step)
+        return state
+
+    def validate(self, state: TrainState, val_iter, n_batches: int = 8,
+                 logger=None, step: int = 0, seed: int = 0):
+        eval_step = self.jit_eval_step()
+        host_rng = np.random.default_rng(seed)
+        rng = jax.random.PRNGKey(seed)
+        agg: Dict[str, float] = {}
+        count = 0
+        for _ in range(n_batches):
+            try:
+                batch = next(val_iter)
+            except StopIteration:
+                break
+            batch = shard_batch(self.mesh, batch)
+            qp = jnp.int32(host_rng.integers(0, 64))
+            rng, step_rng = jax.random.split(rng)
+            aux = eval_step(state, batch, qp, step_rng)
+            for k, v in aux.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            count += 1
+        if count:
+            agg = {k: v / count for k, v in agg.items()}
+            if logger is not None:
+                logger.log_val(step, agg)
+        return agg

@@ -1,0 +1,237 @@
+"""Waymo clip dataset + synthetic fallback, feeding the trainer NHWC batches.
+
+TPU rebuild of src/dataset/seg_waymo_dataset.py (WaymoDataset) and
+seg_waymo_dataset_lightning.py (WaymoDataModule):
+
+  * windows of ``seq_len`` frames per TFRecord with stride ``slide``
+    (seg_waymo_dataset.py:166-173)
+  * FRONT-camera JPEG decode, BT.709 RGB -> YCbCr
+  * segmentation masks from the ``seg_cache/<tfrecord-stem>/<frame:06d>.npz``
+    cache (strict or zeros fallback, seg_waymo_dataset.py:56-81)
+  * one shared random square crop per window (seg_waymo_dataset.py:231-241)
+  * deterministic sample-level randperm train/val split
+    (seg_waymo_dataset_lightning.py:107-140)
+
+Outputs are NHWC dict batches {'frames': (B,T,H,W,3), 'masks': (B,T,H,W,1)}
+as numpy, ready for ``shard_batch``. A ``SyntheticClipDataset`` of moving
+textured rectangles (with exact masks) stands in when no TFRecords exist, so
+the full pipeline runs in CI and on fresh machines.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.transforms import rgb2ycbcr_np
+from . import tfrecord, waymo_proto
+
+
+def mask_cache_paths(cache_dir, tf_path, frame_idx: int) -> Tuple[Path, Path]:
+    base = Path(tf_path).stem
+    d = Path(cache_dir) / base
+    return d / f"{frame_idx:06d}.npz", d / f"{frame_idx:06d}.png"
+
+
+def load_cached_mask(cache_dir, tf_path, frame_idx: int, h: int, w: int,
+                     strict: bool) -> np.ndarray:
+    """(H, W, 1) float {0,1} from .npz ('mask' uint8) or .png; zeros if
+    missing and not strict."""
+    p_npz, p_png = mask_cache_paths(cache_dir, tf_path, frame_idx)
+    if p_npz.exists():
+        data = np.load(p_npz, allow_pickle=False)
+        if "mask" not in data:
+            raise FileNotFoundError(f"NPZ without 'mask': {p_npz}")
+        m = np.asarray(data["mask"], np.uint8)
+        if m.shape != (h, w):
+            raise ValueError(f"mask shape {m.shape} != image {(h, w)} at {p_npz}")
+        return m.astype(np.float32)[..., None]
+    if p_png.exists():
+        from PIL import Image
+        m8 = np.asarray(Image.open(p_png).convert("L"))
+        if m8.shape != (h, w):
+            raise ValueError(f"mask shape {m8.shape} != image {(h, w)} at {p_png}")
+        return (m8 > 127).astype(np.float32)[..., None]
+    if strict:
+        raise FileNotFoundError(f"mask missing: {p_npz} | {p_png}")
+    return np.zeros((h, w, 1), np.float32)
+
+
+class WaymoClipDataset:
+    """Clip windows over TFRecords; __getitem__ -> (frames, masks) NHWC."""
+
+    def __init__(self, tfrecord_paths, seg_cache_dir: str = "seg_cache",
+                 seq_len: int = 4, slide: int = 1,
+                 crop_size: Optional[int] = 128, strict_masks: bool = False):
+        if isinstance(tfrecord_paths, str):
+            tfrecord_paths = sorted(glob.glob(tfrecord_paths))
+        self.paths: List[str] = list(tfrecord_paths)
+        if not self.paths:
+            raise ValueError("No TFRecord files found.")
+        self.seg_cache_dir = seg_cache_dir
+        self.seq_len = int(seq_len)
+        self.slide = int(slide)
+        self.crop_size = int(crop_size) if crop_size else None
+        self.strict_masks = strict_masks
+
+        self._offsets: Dict[str, List[int]] = {
+            p: tfrecord.record_offsets(p) for p in self.paths}
+        self._index: List[Tuple[str, int]] = []
+        for p in self.paths:
+            total = len(self._offsets[p])
+            if total >= self.seq_len:
+                self._index.extend(
+                    (p, s) for s in range(0, total - self.seq_len + 1, self.slide))
+        if not self._index:
+            raise ValueError("No clip windows (check seq_len/slide).")
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        tf_path, start = self._index[idx]
+        offsets = self._offsets[tf_path]
+
+        frames, masks = [], []
+        with open(tf_path, "rb") as f:
+            for frame_idx in range(start, start + self.seq_len):
+                payload = tfrecord.read_record_at(f, offsets[frame_idx])
+                jpeg = waymo_proto.parse_front_jpeg(payload)
+                if jpeg is None:
+                    raise RuntimeError(f"no FRONT image in {tf_path}@{frame_idx}")
+                rgb = waymo_proto.decode_jpeg(jpeg).astype(np.float32) / 255.0
+                h, w = rgb.shape[:2]
+                mask = load_cached_mask(self.seg_cache_dir, tf_path, frame_idx,
+                                        h, w, self.strict_masks)
+                frames.append(np.clip(rgb2ycbcr_np(rgb), 0.0, 1.0))
+                masks.append(mask)
+
+        frames = np.stack(frames)  # (T, H, W, 3)
+        masks = np.stack(masks)    # (T, H, W, 1)
+        if self.crop_size is not None:
+            t_, h, w, _ = frames.shape
+            c = self.crop_size
+            if c > h or c > w:
+                raise ValueError(f"crop {c} exceeds image {(h, w)}")
+            top = int(rng.integers(0, h - c + 1))
+            left = int(rng.integers(0, w - c + 1))
+            frames = frames[:, top:top + c, left:left + c]
+            masks = masks[:, top:top + c, left:left + c]
+        return frames, masks
+
+
+class SyntheticClipDataset:
+    """Deterministic moving-rectangle clips with exact masks (no files).
+
+    Frame = smooth noise background + 1-3 textured moving rectangles;
+    mask = union of the rectangles, mimicking the vehicle/person masks the
+    YOLO cache provides on Waymo.
+    """
+
+    def __init__(self, num_clips: int = 64, seq_len: int = 4,
+                 crop_size: int = 128, seed: int = 0):
+        self.num_clips = num_clips
+        self.seq_len = seq_len
+        self.size = crop_size
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_clips
+
+    def __getitem__(self, idx: int, rng=None):
+        s = self.size
+        g = np.random.default_rng(self.seed * 100003 + idx)
+        base = g.uniform(0.2, 0.8, (s // 8, s // 8, 3)).astype(np.float32)
+        background = np.repeat(np.repeat(base, 8, 0), 8, 1)
+        n_obj = int(g.integers(1, 4))
+        objs = []
+        for _ in range(n_obj):
+            oh, ow = int(g.integers(s // 8, s // 3)), int(g.integers(s // 8, s // 3))
+            tex = g.uniform(0, 1, (oh, ow, 3)).astype(np.float32)
+            x0, y0 = int(g.integers(0, s - ow)), int(g.integers(0, s - oh))
+            vx, vy = int(g.integers(-4, 5)), int(g.integers(-4, 5))
+            objs.append((tex, x0, y0, vx, vy))
+
+        frames, masks = [], []
+        for t in range(self.seq_len):
+            frame = background.copy()
+            mask = np.zeros((s, s, 1), np.float32)
+            for tex, x0, y0, vx, vy in objs:
+                oh, ow = tex.shape[:2]
+                x = np.clip(x0 + vx * t, 0, s - ow)
+                y = np.clip(y0 + vy * t, 0, s - oh)
+                frame[y:y + oh, x:x + ow] = tex
+                mask[y:y + oh, x:x + ow] = 1.0
+            frames.append(np.clip(rgb2ycbcr_np(frame), 0.0, 1.0))
+            masks.append(mask)
+        return np.stack(frames), np.stack(masks)
+
+
+class ClipDataModule:
+    """Split + batching. Mirrors WaymoDataModule's deterministic sample-level
+    randperm split (seg_waymo_dataset_lightning.py:107-140)."""
+
+    def __init__(self, dataset, batch_size: int = 4,
+                 split=(0.9, 0.1, 0.0), seed: int = 42):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        n = len(dataset)
+        perm = np.random.default_rng(seed).permutation(n)
+        n_train = int(round(split[0] * n))
+        n_val = int(round(split[1] * n))
+        self.train_indices = perm[:n_train]
+        self.val_indices = perm[n_train:n_train + n_val]
+        self.test_indices = perm[n_train + n_val:]
+        self.seed = seed
+
+    def _iter(self, indices: np.ndarray, shuffle: bool, loop: bool,
+              seed: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while True:
+            order = rng.permutation(indices) if shuffle else indices
+            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                chunk = order[i:i + self.batch_size]
+                frames, masks = [], []
+                for j in chunk:
+                    f, m = self.dataset.__getitem__(int(j), rng=rng)
+                    frames.append(f)
+                    masks.append(m)
+                yield {"frames": np.stack(frames), "masks": np.stack(masks)}
+            epoch += 1
+            if not loop:
+                return
+
+    def train_iter(self, loop: bool = True):
+        return self._iter(self.train_indices, shuffle=True, loop=loop,
+                          seed=self.seed)
+
+    def val_iter(self, loop: bool = False):
+        return self._iter(self.val_indices, shuffle=False, loop=loop,
+                          seed=self.seed + 1)
+
+
+def make_datamodule(cfg) -> ClipDataModule:
+    """Build from DatasetConfig: Waymo TFRecords if present, else synthetic."""
+    ds_cfg = cfg.dataset if hasattr(cfg, "dataset") else cfg
+    crop = ds_cfg.crop_size or (
+        ds_cfg.crop[0] if isinstance(ds_cfg.crop, (list, tuple)) else 128)
+    seq_len = ds_cfg.seq_len or ds_cfg.n_frames
+    paths = sorted(glob.glob(os.path.join(ds_cfg.data_dir, "*.tfrecord")))
+    if paths and not ds_cfg.synthetic:
+        dataset = WaymoClipDataset(
+            paths, seg_cache_dir=ds_cfg.seg_cache_dir, seq_len=seq_len,
+            slide=ds_cfg.slide, crop_size=crop,
+            strict_masks=ds_cfg.strict_masks)
+    else:
+        dataset = SyntheticClipDataset(
+            num_clips=ds_cfg.synthetic_num_clips, seq_len=seq_len,
+            crop_size=crop)
+    return ClipDataModule(dataset, batch_size=ds_cfg.batch_size,
+                          split=tuple(ds_cfg.train_val_test_split),
+                          seed=getattr(cfg, "seed", 42))

@@ -25,40 +25,49 @@ from ..layers.quant import noise_quant, ste_round
 # checkerboard masks (src/models/common_model.py:92-169)
 # ---------------------------------------------------------------------------
 
-def _one_mask(micro: Tuple[Tuple[int, int], Tuple[int, int]], height: int,
-              width: int) -> np.ndarray:
-    m = np.asarray(micro, dtype=np.float32)
-    m = np.tile(m, ((height + 1) // 2, (width + 1) // 2))[:height, :width]
-    return m[None, :, :, None]  # (1, H, W, 1)
+def _parity_grids(height: int, width: int, channel: int):
+    """On-device (H, W, C) index parities. Generated with broadcasted_iota so
+    no multi-MB mask constants get baked into the HLO (which stalls
+    compilation at 1080p latents)."""
+    hh = jax.lax.broadcasted_iota(jnp.int32, (1, height, width, channel), 1)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (1, height, width, channel), 2)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, height, width, channel), 3)
+    return hh % 2, ww % 2, cc
 
 
-def checkerboard_masks_2x(channel: int, height: int, width: int):
-    """Two complementary (1, H, W, C) masks: checker pattern swapped between
-    channel halves (src/models/common_model.py:101-114)."""
+def checkerboard_masks_2x(channel: int, height: int, width: int,
+                          dtype=jnp.float32):
+    """Two complementary (1, H, W, C) masks: checker pattern ((1,0),(0,1))
+    on the first channel half, inverted on the second; mask_1 swaps them
+    (src/models/common_model.py:101-114)."""
     assert channel % 2 == 0
-    m0 = _one_mask(((1, 0), (0, 1)), height, width)
-    m1 = _one_mask(((0, 1), (1, 0)), height, width)
-    half = channel // 2
-    mask_0 = np.concatenate([np.tile(m0, (1, 1, 1, half)),
-                             np.tile(m1, (1, 1, 1, half))], axis=-1)
-    mask_1 = np.concatenate([np.tile(m1, (1, 1, 1, half)),
-                             np.tile(m0, (1, 1, 1, half))], axis=-1)
-    return jnp.asarray(mask_0), jnp.asarray(mask_1)
+    hp, wp, cc = _parity_grids(height, width, channel)
+    checker = (hp + wp) % 2 == 0          # the ((1,0),(0,1)) micro pattern
+    first_half = cc < (channel // 2)
+    mask_0 = jnp.where(first_half, checker, ~checker).astype(dtype)
+    mask_1 = (1.0 - mask_0).astype(dtype)
+    return mask_0, mask_1
 
 
-def checkerboard_masks_4x(channel: int, height: int, width: int):
-    """Four complementary (1, H, W, C) masks over channel quarters
-    (src/models/common_model.py:152-169)."""
+def checkerboard_masks_4x(channel: int, height: int, width: int,
+                          dtype=jnp.float32):
+    """Four complementary (1, H, W, C) masks over channel quarters with the
+    reference's pass orders (src/models/common_model.py:152-169):
+      mask_0 quarters use micro patterns (0,1,2,3), mask_1 (3,2,1,0),
+      mask_2 (2,3,0,1), mask_3 (1,0,3,2), where pattern k lights pixel
+      (h%2, w%2) == (k//2, k%2)."""
     assert channel % 4 == 0
-    m = [_one_mask(p, height, width) for p in
-         (((1, 0), (0, 0)), ((0, 1), (0, 0)), ((0, 0), (1, 0)), ((0, 0), (0, 1)))]
-    q = channel // 4
+    hp, wp, cc = _parity_grids(height, width, channel)
+    pattern = hp * 2 + wp                 # which micro-cell this pixel is
+    quarter = cc // (channel // 4)
+    orders = jnp.asarray([(0, 1, 2, 3), (3, 2, 1, 0), (2, 3, 0, 1),
+                          (1, 0, 3, 2)], jnp.int32)
 
-    def cat(order):
-        return jnp.asarray(np.concatenate([np.tile(m[i], (1, 1, 1, q))
-                                           for i in order], axis=-1))
+    def build(i):
+        want = jnp.take(orders[i], quarter)
+        return (pattern == want).astype(dtype)
 
-    return cat((0, 1, 2, 3)), cat((3, 2, 1, 0)), cat((2, 3, 0, 1)), cat((1, 0, 3, 2))
+    return build(0), build(1), build(2), build(3)
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +142,7 @@ def compress_prior_2x(y: jnp.ndarray, common_params: jnp.ndarray,
     y = y * (1.0 / q_dec)
 
     c, h, w = y.shape[-1], y.shape[1], y.shape[2]
-    mask_0, mask_1 = checkerboard_masks_2x(c, h, w)
+    mask_0, mask_1 = checkerboard_masks_2x(c, h, w, dtype=y.dtype)
     rng0, rng1 = jax.random.split(rng) if rng is not None else (None, None)
 
     p0 = process_with_mask(y, scales, means, mask_0, rng0, train)
@@ -171,7 +180,7 @@ def compress_prior_4x(y: jnp.ndarray, common_params: jnp.ndarray,
     reduced = reduction(common_params)
 
     c, h, w = y.shape[-1], y.shape[1], y.shape[2]
-    masks = checkerboard_masks_4x(c, h, w)
+    masks = checkerboard_masks_4x(c, h, w, dtype=y.dtype)
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
 
     y = y * q_enc

@@ -1,0 +1,427 @@
+// rANS range coder for the real bitstream path.
+//
+// C++ host-side equivalent of the external pybind11 modules the reference
+// imports by name but does not vendor (MLCodec_extensions_cpp / MLCodec_rans;
+// see src/models/entropy_models.py:15 and src/refactor/entropy_models.py:13).
+// Written from scratch:
+//   * byte-wise rANS, 32-bit state, 16-bit quantized CDFs (precision 2^16)
+//   * CDF-table registry shared by y (Gaussian scale table) and z
+//     (per-QP factorized) coders
+//   * CompressAI-style escape/bypass coding for out-of-range symbols
+//   * fused uint16 (symbol<<8 | index) encode_y path and int8 + per-channel
+//     offset encode_z path
+//   * optional two-stream split (set_use_two_encoders) so decode can be
+//     parallelized; streams are framed [u32 len0][stream0][stream1]
+//
+// Exposed through a plain C ABI consumed via ctypes (pybind11 is not in this
+// image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 16;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;  // renormalization lower bound
+constexpr int kBypassPrecision = 4;    // bypass chunk bits
+constexpr int kMaxBypassVal = (1 << kBypassPrecision) - 1;
+
+struct CdfTable {
+  // cdfs laid out row-major: n_rows x row_len int32 (quantized, last = 2^16)
+  std::vector<int32_t> cdfs;
+  std::vector<int32_t> lengths;  // cdf_length per row (entries used)
+  std::vector<int32_t> offsets;  // symbol value offset per row
+  int row_len = 0;
+  int n_rows = 0;
+};
+
+struct PendingSymbol {
+  int32_t value;   // raw symbol value (before offset)
+  int32_t index;   // cdf row
+  int32_t group;   // cdf table id
+};
+
+class RansEncImpl {
+ public:
+  std::vector<CdfTable> tables;
+  std::vector<PendingSymbol> pending[2];
+  std::vector<uint8_t> encoded;
+  bool two_streams = false;
+
+  int add_cdf(const CdfTable& t) {
+    tables.push_back(t);
+    return static_cast<int>(tables.size()) - 1;
+  }
+
+  void reset() {
+    pending[0].clear();
+    pending[1].clear();
+    encoded.clear();
+  }
+
+  void put(int32_t value, int32_t index, int32_t group) {
+    // alternate halves between the two streams at flush; buffer jointly here
+    pending[0].push_back({value, index, group});
+  }
+
+  // rANS encode of a pending list (LIFO -> iterate in reverse), returns bytes
+  std::vector<uint8_t> encode_stream(const std::vector<PendingSymbol>& syms) {
+    std::vector<uint8_t> out;
+    out.reserve(syms.size());
+    uint32_t state = kRansL;
+
+    auto put_bits = [&](uint32_t val, int nbits) {
+      // bypass raw bits, also rANS-coded with uniform distribution
+      uint32_t freq = 1u << (kProbBits - nbits);
+      uint32_t start = val * freq;
+      uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
+      while (state >= x_max) {
+        out.push_back(static_cast<uint8_t>(state & 0xff));
+        state >>= 8;
+      }
+      state = ((state / freq) << kProbBits) + (state % freq) + start;
+    };
+
+    auto put_symbol = [&](uint32_t start, uint32_t freq) {
+      uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
+      while (state >= x_max) {
+        out.push_back(static_cast<uint8_t>(state & 0xff));
+        state >>= 8;
+      }
+      state = ((state / freq) << kProbBits) + (state % freq) + start;
+    };
+
+    for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
+      const CdfTable& t = tables[it->group];
+      const int32_t* cdf = t.cdfs.data() + size_t(it->index) * t.row_len;
+      const int32_t len = t.lengths[it->index];   // entries in cdf row
+      const int32_t max_sym = len - 2;            // last valid = escape
+      int32_t s = it->value - t.offsets[it->index];
+
+      if (s < 0 || s >= max_sym) {
+        // escape: bypass-code the raw overflow (sign-folded) value.
+        // Decode order: [escape symbol][unary chunk count][data chunks],
+        // so in this reverse (LIFO) encoder we emit data chunks first,
+        // then the unary count, then fall through to the escape symbol.
+        uint32_t raw = static_cast<uint32_t>(
+            s < 0 ? -2 * s - 1 : 2 * (s - max_sym));
+        int n_chunks = 0;
+        uint32_t tmp = raw;
+        do {
+          n_chunks++;
+          tmp >>= kBypassPrecision;
+        } while (tmp);
+        // data chunks, little-endian; encode reversed
+        for (int i = n_chunks - 1; i >= 0; --i)
+          put_bits((raw >> (i * kBypassPrecision)) & kMaxBypassVal,
+                   kBypassPrecision);
+        // unary count: (n_chunks-1) "continue" markers (== kMaxBypassVal)
+        // terminated by one non-max chunk; encode reversed
+        put_bits(0, kBypassPrecision);  // terminator decoded last in unary
+        for (int i = 0; i < n_chunks - 1; ++i)
+          put_bits(kMaxBypassVal, kBypassPrecision);
+        s = max_sym;
+      }
+
+      uint32_t start = static_cast<uint32_t>(cdf[s]);
+      uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
+      put_symbol(start, freq);
+    }
+    // flush state (4 bytes, little endian at the back)
+    for (int i = 0; i < 4; ++i) {
+      out.push_back(static_cast<uint8_t>(state & 0xff));
+      state >>= 8;
+    }
+    // bytes were emitted in reverse decode order
+    std::vector<uint8_t> rev(out.rbegin(), out.rend());
+    return rev;
+  }
+
+  void flush() {
+    encoded.clear();
+    if (!two_streams) {
+      encoded = encode_stream(pending[0]);
+    } else {
+      size_t half = pending[0].size() / 2;
+      std::vector<PendingSymbol> a(pending[0].begin(), pending[0].begin() + half);
+      std::vector<PendingSymbol> b(pending[0].begin() + half, pending[0].end());
+      auto sa = encode_stream(a);
+      auto sb = encode_stream(b);
+      uint32_t len_a = static_cast<uint32_t>(sa.size());
+      encoded.resize(4);
+      std::memcpy(encoded.data(), &len_a, 4);
+      encoded.insert(encoded.end(), sa.begin(), sa.end());
+      encoded.insert(encoded.end(), sb.begin(), sb.end());
+    }
+    pending[0].clear();
+  }
+};
+
+class RansDecImpl {
+ public:
+  std::vector<CdfTable> tables;
+  std::vector<uint8_t> stream;
+  std::vector<int32_t> decoded;
+  bool two_streams = false;
+
+  struct Cursor {
+    const uint8_t* ptr;
+    const uint8_t* end;
+    uint32_t state;
+  };
+  Cursor cur[2];
+  // pending decode bookkeeping for two-stream mode
+  size_t total_symbols_hint = 0;
+
+  int add_cdf(const CdfTable& t) {
+    tables.push_back(t);
+    return static_cast<int>(tables.size()) - 1;
+  }
+
+  void set_stream(const uint8_t* data, size_t n) {
+    stream.assign(data, data + n);
+    decoded.clear();
+    if (!two_streams) {
+      init_cursor(cur[0], stream.data(), stream.size());
+    } else {
+      uint32_t len_a;
+      std::memcpy(&len_a, stream.data(), 4);
+      init_cursor(cur[0], stream.data() + 4, len_a);
+      init_cursor(cur[1], stream.data() + 4 + len_a,
+                  stream.size() - 4 - len_a);
+    }
+  }
+
+  static void init_cursor(Cursor& c, const uint8_t* data, size_t n) {
+    c.ptr = data;
+    c.end = data + n;
+    c.state = 0;
+    for (int i = 0; i < 4; ++i)
+      c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+  }
+
+  uint32_t get_bits(Cursor& c, int nbits) {
+    uint32_t freq = 1u << (kProbBits - nbits);
+    uint32_t cum = c.state & (kProbScale - 1);
+    uint32_t val = cum / freq;
+    c.state = freq * (c.state >> kProbBits) + (cum % freq);
+    while (c.state < kRansL)
+      c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+    return val;
+  }
+
+  int32_t decode_one(Cursor& c, int32_t index, int32_t group) {
+    const CdfTable& t = tables[group];
+    const int32_t* cdf = t.cdfs.data() + size_t(index) * t.row_len;
+    const int32_t len = t.lengths[index];
+    const int32_t max_sym = len - 2;
+
+    uint32_t cum = c.state & (kProbScale - 1);
+    // binary search for s with cdf[s] <= cum < cdf[s+1]
+    int lo = 0, hi = len - 1;
+    while (hi - lo > 1) {
+      int mid = (lo + hi) / 2;
+      if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid;
+      else hi = mid;
+    }
+    int s = lo;
+    uint32_t start = static_cast<uint32_t>(cdf[s]);
+    uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
+    c.state = freq * (c.state >> kProbBits) + cum - start;
+    while (c.state < kRansL)
+      c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+
+    int32_t value;
+    if (s == max_sym) {
+      // escape: unary chunk count then data chunks
+      int n_chunks = 1;
+      while (get_bits(c, kBypassPrecision) == (1u << kBypassPrecision) - 1)
+        n_chunks++;
+      uint32_t raw = 0;
+      for (int i = 0; i < n_chunks; ++i)
+        raw |= get_bits(c, kBypassPrecision) << (i * kBypassPrecision);
+      int32_t sraw = static_cast<int32_t>(raw);
+      value = (sraw & 1) ? -(sraw + 1) / 2 : sraw / 2 + max_sym;
+    } else {
+      value = s;
+    }
+    return value + t.offsets[index];
+  }
+
+  void decode_batch(const int32_t* indexes, size_t n, int32_t group) {
+    if (!two_streams) {
+      for (size_t i = 0; i < n; ++i)
+        decoded.push_back(decode_one(cur[0], indexes[i], group));
+    } else {
+      size_t half = n / 2;
+      size_t base = decoded.size();
+      decoded.resize(base + n);
+      for (size_t i = 0; i < half; ++i)
+        decoded[base + i] = decode_one(cur[0], indexes[i], group);
+      for (size_t i = half; i < n; ++i)
+        decoded[base + i] = decode_one(cur[1], indexes[i], group);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------- encoder
+void* rans_encoder_new() { return new RansEncImpl(); }
+void rans_encoder_free(void* h) { delete static_cast<RansEncImpl*>(h); }
+void rans_encoder_reset(void* h) { static_cast<RansEncImpl*>(h)->reset(); }
+void rans_encoder_set_two(void* h, int two) {
+  static_cast<RansEncImpl*>(h)->two_streams = two != 0;
+}
+
+int rans_encoder_add_cdf(void* h, const int32_t* cdfs, const int32_t* lengths,
+                         const int32_t* offsets, int n_rows, int row_len) {
+  CdfTable t;
+  t.cdfs.assign(cdfs, cdfs + size_t(n_rows) * row_len);
+  t.lengths.assign(lengths, lengths + n_rows);
+  t.offsets.assign(offsets, offsets + n_rows);
+  t.row_len = row_len;
+  t.n_rows = n_rows;
+  return static_cast<RansEncImpl*>(h)->add_cdf(t);
+}
+
+// classic interface: separate symbol + index arrays
+void rans_encoder_encode_with_indexes(void* h, const int16_t* symbols,
+                                      const int32_t* indexes, size_t n,
+                                      int group) {
+  auto* e = static_cast<RansEncImpl*>(h);
+  for (size_t i = 0; i < n; ++i) e->put(symbols[i], indexes[i], group);
+}
+
+// fused RT interface: int16 packed (symbol<<8)|index
+void rans_encoder_encode_y(void* h, const int16_t* packed, size_t n,
+                           int group) {
+  auto* e = static_cast<RansEncImpl*>(h);
+  for (size_t i = 0; i < n; ++i) {
+    int32_t value = packed[i] >> 8;          // arithmetic shift keeps sign
+    int32_t index = packed[i] & 0xff;
+    e->put(value, index, group);
+  }
+}
+
+// z interface: int8 symbols, row = start_offset + i / per_channel_size
+void rans_encoder_encode_z(void* h, const int8_t* symbols, size_t n, int group,
+                           int start_offset, int per_channel_size) {
+  auto* e = static_cast<RansEncImpl*>(h);
+  for (size_t i = 0; i < n; ++i) {
+    int32_t index = start_offset + static_cast<int32_t>(i / per_channel_size);
+    e->put(symbols[i], index, group);
+  }
+}
+
+void rans_encoder_flush(void* h) { static_cast<RansEncImpl*>(h)->flush(); }
+
+size_t rans_encoder_stream_size(void* h) {
+  return static_cast<RansEncImpl*>(h)->encoded.size();
+}
+
+void rans_encoder_get_stream(void* h, uint8_t* out) {
+  auto* e = static_cast<RansEncImpl*>(h);
+  std::memcpy(out, e->encoded.data(), e->encoded.size());
+}
+
+// ---------------------------------------------------------------- decoder
+void* rans_decoder_new() { return new RansDecImpl(); }
+void rans_decoder_free(void* h) { delete static_cast<RansDecImpl*>(h); }
+void rans_decoder_set_two(void* h, int two) {
+  static_cast<RansDecImpl*>(h)->two_streams = two != 0;
+}
+
+int rans_decoder_add_cdf(void* h, const int32_t* cdfs, const int32_t* lengths,
+                         const int32_t* offsets, int n_rows, int row_len) {
+  CdfTable t;
+  t.cdfs.assign(cdfs, cdfs + size_t(n_rows) * row_len);
+  t.lengths.assign(lengths, lengths + n_rows);
+  t.offsets.assign(offsets, offsets + n_rows);
+  t.row_len = row_len;
+  t.n_rows = n_rows;
+  return static_cast<RansDecImpl*>(h)->add_cdf(t);
+}
+
+void rans_decoder_set_stream(void* h, const uint8_t* data, size_t n) {
+  static_cast<RansDecImpl*>(h)->set_stream(data, n);
+}
+
+void rans_decoder_decode_batch(void* h, const int32_t* indexes, size_t n,
+                               int group) {
+  static_cast<RansDecImpl*>(h)->decode_batch(indexes, n, group);
+}
+
+// z: row = start_offset + i / per_channel_size, n symbols
+void rans_decoder_decode_z(void* h, size_t n, int group, int start_offset,
+                           int per_channel_size) {
+  auto* d = static_cast<RansDecImpl*>(h);
+  std::vector<int32_t> indexes(n);
+  for (size_t i = 0; i < n; ++i)
+    indexes[i] = start_offset + static_cast<int32_t>(i / per_channel_size);
+  d->decode_batch(indexes.data(), n, group);
+}
+
+size_t rans_decoder_decoded_size(void* h) {
+  return static_cast<RansDecImpl*>(h)->decoded.size();
+}
+
+void rans_decoder_get_decoded(void* h, int32_t* out) {
+  auto* d = static_cast<RansDecImpl*>(h);
+  std::memcpy(out, d->decoded.data(), d->decoded.size() * sizeof(int32_t));
+  d->decoded.clear();
+}
+
+// ------------------------------------------------------------ cdf helper
+// pmf (float) -> quantized cdf with total 2^precision; zero bins get
+// probability stolen from the largest bin (CompressAI-compatible semantics).
+void pmf_to_quantized_cdf_c(const float* pmf, int n, int precision,
+                            int32_t* out /* n+1 entries */) {
+  double total = 0;
+  for (int i = 0; i < n; ++i) total += pmf[i] > 0 ? pmf[i] : 0;
+  if (total <= 0) total = 1;
+  const int32_t scale = 1 << precision;
+
+  out[0] = 0;
+  for (int i = 0; i < n; ++i) {
+    double p = pmf[i] > 0 ? pmf[i] : 0;
+    int32_t f = static_cast<int32_t>(p / total * scale + 0.5);
+    out[i + 1] = out[i] + f;
+  }
+  // normalize end to scale
+  int32_t diff = scale - out[n];
+  // add the difference to the largest bin (keeps order, avoids zeros)
+  if (diff != 0) {
+    int best = 0;
+    int32_t best_f = -1;
+    for (int i = 0; i < n; ++i) {
+      int32_t f = out[i + 1] - out[i];
+      if (f > best_f) { best_f = f; best = i; }
+    }
+    for (int i = best + 1; i <= n; ++i) out[i] += diff;
+  }
+  // steal to fix zero-frequency bins
+  for (int i = 0; i < n; ++i) {
+    if (out[i + 1] - out[i] == 0) {
+      // find the largest bin and steal 1
+      int best = -1;
+      int32_t best_f = 1;
+      for (int j = 0; j < n; ++j) {
+        int32_t f = out[j + 1] - out[j];
+        if (f > best_f) { best_f = f; best = j; }
+      }
+      if (best < 0) break;
+      if (best < i) {
+        for (int j = best + 1; j <= i; ++j) out[j] -= 1;
+      } else {
+        for (int j = i + 1; j <= best; ++j) out[j] += 1;
+      }
+    }
+  }
+}
+
+}  // extern "C"

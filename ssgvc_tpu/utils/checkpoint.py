@@ -1,0 +1,87 @@
+"""Checkpoint save/load (orbax) + pretrained DCVC-RT import.
+
+Rebuild of the reference's checkpoint machinery:
+  * ``save_checkpoint``/``restore_checkpoint`` — orbax-backed train-state
+    persistence (replacing Lightning ModelCheckpoint,
+    trainer_seg_video_model.py:1471-1478).
+  * ``load_pretrained`` — cold-start transfer learning
+    (_load_checkpoints, trainer_seg_video_model.py:825-846): strict load of
+    the DCVC-RT image checkpoint into DMCI; tolerant load of video
+    checkpoints with automatic prefix normalization (:743-755) and 3->4
+    input-conv inflation for the mask channel (:757-793). NOTE: our models
+    keep the frame input at 3 channels and route the mask through dedicated
+    conditioning (SFT/FiLM), so inflation applies only when importing
+    4-channel-trained reference checkpoints of the encoder's first conv.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def restore_checkpoint(path: str, target=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(os.path.abspath(path), item=target)
+        return ckptr.restore(os.path.abspath(path))
+
+
+def load_pretrained(trainer, cfg):
+    """Build an initial TrainState with reference checkpoints imported."""
+    from .torch_import import (
+        align_params,
+        convert_state_dict,
+        load_torch_checkpoint,
+        normalize_prefix,
+    )
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = trainer.init_state(rng)
+    params_i, params_p = state.params_i, state.params_p
+
+    if cfg.image_checkpoint_path and os.path.exists(cfg.image_checkpoint_path):
+        sd = load_torch_checkpoint(cfg.image_checkpoint_path)
+        params_i = align_params(convert_state_dict(sd), params_i)
+        print(f"[ckpt] imported image model from {cfg.image_checkpoint_path}")
+
+    if cfg.video_checkpoint_path and os.path.exists(cfg.video_checkpoint_path):
+        sd = load_torch_checkpoint(cfg.video_checkpoint_path)
+        from flax.traverse_util import flatten_dict
+        target_keys = {".".join(k) for k in flatten_dict(params_p)}
+        sd = normalize_prefix(sd, target_keys)
+        flat = convert_state_dict(sd)
+        try:
+            params_p = align_params(flat, params_p)
+        except KeyError as e:
+            print(f"[ckpt] partial video import ({e}); keeping random init "
+                  f"for missing params")
+            from .torch_import import flatten as flat_np, unflatten
+            tmpl = flat_np(params_p)
+            merged = {k: flat.get(k, v) for k, v in tmpl.items()
+                      if k not in flat or flat[k].shape == v.shape}
+            for k, v in tmpl.items():
+                if k not in merged:
+                    merged[k] = v
+            params_p = unflatten(merged)
+        print(f"[ckpt] imported video model from {cfg.video_checkpoint_path}")
+
+    state = state._replace(params_i=params_i, params_p=params_p,
+                           opt_state=trainer.tx.init(params_p))
+    from ..parallel.mesh import replicate
+    return replicate(trainer.mesh, state)

@@ -1,12 +1,16 @@
 """Benchmark: 1080p P-frame encode+decode throughput on one TPU chip.
 
 Runs the flagship 'performance' DMC forward (full encode + decode transforms,
-mask SFT, hyper path, 2-pass checkerboard prior, recon) on 1920x1088 frames in
-bf16 and reports steady-state frames/s.
+mask SFT, hyper path, 2-pass checkerboard prior, recon, bit estimation) on
+1920x1088 frames in bf16 and reports steady-state frames/s.
 
-Baseline note: the reference publishes no fps numbers
-(see BASELINE.md); DCVC-RT's headline claim is real-time 1080p coding, so we
-use 30 fps as the A100-class real-time bar. vs_baseline = fps / 30.
+The frame loop is a ``lax.scan`` inside ONE jit (the DPB carry never leaves
+the device), which is also how the trainer and the streaming inference API
+run — per-frame host dispatch would otherwise dominate on tunneled setups.
+
+Baseline note: the reference publishes no fps numbers (see BASELINE.md);
+DCVC-RT's headline claim is real-time 1080p coding, so we use 30 fps as the
+A100-class real-time bar. vs_baseline = fps / 30.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,39 +30,52 @@ def main():
     model = DMC(cfg)
 
     b, h, w = 1, 1088, 1920
+    n_frames = 16
     key = jax.random.PRNGKey(0)
-    frame = jax.random.uniform(key, (b, h, w, 3), jnp.float32)
-    mask = (jax.random.uniform(jax.random.PRNGKey(1), (b, h, w, 1)) > 0.8
-            ).astype(jnp.float32)
-    dpb = {
+    frames = jax.random.uniform(key, (n_frames, b, h, w, 3), jnp.bfloat16)
+    masks = (jax.random.uniform(jax.random.PRNGKey(1), (n_frames, b, h, w, 1))
+             > 0.8).astype(jnp.bfloat16)
+    dpb0 = {
         "frame": jax.random.uniform(jax.random.PRNGKey(2), (b, h, w, 3),
-                                    jnp.float32),
-        "feature": jax.random.normal(jax.random.PRNGKey(3),
-                                     (b, h // 8, w // 8, cfg.ch_d),
-                                     jnp.float32) * 0.1,
+                                    jnp.bfloat16),
+        "feature": (jax.random.normal(jax.random.PRNGKey(3),
+                                      (b, h // 8, w // 8, cfg.ch_d),
+                                      jnp.bfloat16) * 0.1),
     }
     qp = jnp.int32(32)
-    params = model.init(jax.random.PRNGKey(4), frame, qp, dpb,
-                        after_i=False, mask=mask, train=False)["params"]
+
+    # init with tiny shapes (params are shape-independent)
+    params = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)), qp,
+        {"frame": jnp.zeros((1, 64, 64, 3)),
+         "feature": jnp.zeros((1, 8, 8, cfg.ch_d))},
+        after_i=False, mask=jnp.zeros((1, 64, 64, 1)), train=False)["params"]
 
     @jax.jit
-    def p_frame(params, frame, mask, qp, dpb):
-        out = model.apply({"params": params}, frame, qp, dpb,
-                          after_i=False, mask=mask, train=False)
-        return out["dpb"], out["bpp"]
+    def gop(params, frames, masks, qp, dpb):
+        def step(dpb, xs):
+            frame, mask = xs
+            out = model.apply({"params": params}, frame, qp, dpb,
+                              after_i=False, mask=mask, train=False)
+            return out["dpb"], out["bpp"]
+
+        dpb, bpps = jax.lax.scan(step, dpb, (frames, masks))
+        return bpps.sum(), dpb["frame"].sum()
 
     # warmup/compile
-    new_dpb, bpp = p_frame(params, frame, mask, qp, dpb)
-    jax.block_until_ready(bpp)
+    out = gop(params, frames, masks, qp, dpb0)
+    jax.block_until_ready(out)
 
-    iters = 20
-    start = time.perf_counter()
-    cur = dpb
-    for _ in range(iters):
-        cur, bpp = p_frame(params, frame, mask, qp, cur)
-    jax.block_until_ready(bpp)
-    elapsed = time.perf_counter() - start
-    fps = iters * b / elapsed
+    # block per rep: async dispatch + result caching on tunneled runtimes
+    # otherwise under-report wall time
+    reps = 4
+    times = []
+    for r in range(reps):
+        start = time.perf_counter()
+        out = gop(params, frames, masks, jnp.int32(33 + r), dpb0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - start)
+    fps = n_frames * b / min(times)
 
     baseline_fps = 30.0  # A100-class real-time bar; reference publishes no fps
     print(json.dumps({

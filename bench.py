@@ -31,7 +31,9 @@ def main():
 
     b, h, w = 1, 1088, 1920
     n_frames = 16
-    key = jax.random.PRNGKey(0)
+    # unique per-process salt: tunneled runtimes cache (executable, args)
+    # results across processes, which would fake the measurement
+    key = jax.random.PRNGKey(time.time_ns() % (2**31))
     frames = jax.random.uniform(key, (n_frames, b, h, w, 3), jnp.bfloat16)
     masks = (jax.random.uniform(jax.random.PRNGKey(1), (n_frames, b, h, w, 1))
              > 0.8).astype(jnp.bfloat16)
@@ -64,16 +66,18 @@ def main():
 
     # warmup/compile
     out = gop(params, frames, masks, qp, dpb0)
-    jax.block_until_ready(out)
+    float(out[0])
 
-    # block per rep: async dispatch + result caching on tunneled runtimes
-    # otherwise under-report wall time
+    # Sync by FETCHING a scalar result per rep: on tunneled runtimes
+    # block_until_ready does not actually block, and (executable, args)
+    # results are cached across processes — fresh inputs + a value fetch are
+    # the only honest measurement.
     reps = 4
     times = []
     for r in range(reps):
         start = time.perf_counter()
         out = gop(params, frames, masks, jnp.int32(33 + r), dpb0)
-        jax.block_until_ready(out)
+        float(out[0])
         times.append(time.perf_counter() - start)
     fps = n_frames * b / min(times)
 

@@ -1,0 +1,110 @@
+"""Vimeo-90k datasets (the reference's auxiliary training corpora).
+
+Rebuild of src/dataset/dataset_vimeo.py: the 7-PNG septuplet dataset
+(Vimeo90kDataset, :235) and the single-image dataset (Vimeo90kImageDataset,
+:13). The MP4-backed variants (:112, :421) required cv2/ffmpeg decoding —
+not present in this image — and raise with a clear message; the PNG layout is
+the canonical Vimeo-90k distribution anyway.
+
+Directory layout: <root>/sequences/<seq>/<subseq>/im1.png..im7.png with
+sep_trainlist.txt / sep_testlist.txt split files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils.transforms import rgb2ycbcr_np
+
+
+def _read_split_file(root: str, name: str) -> Optional[List[str]]:
+    path = os.path.join(root, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _list_sequences(root: str) -> List[str]:
+    seq_dir = os.path.join(root, "sequences")
+    out = []
+    if not os.path.isdir(seq_dir):
+        return out
+    for a in sorted(os.listdir(seq_dir)):
+        pa = os.path.join(seq_dir, a)
+        if not os.path.isdir(pa):
+            continue
+        for b in sorted(os.listdir(pa)):
+            if os.path.isdir(os.path.join(pa, b)):
+                out.append(f"{a}/{b}")
+    return out
+
+
+class Vimeo90kDataset:
+    """7-PNG septuplets -> (frames (T, H, W, 3) YCbCr, masks zeros)."""
+
+    def __init__(self, root: str, split: str = "train", seq_len: int = 7,
+                 crop_size: Optional[int] = 128, to_ycbcr: bool = True):
+        self.root = root
+        self.seq_len = seq_len
+        self.crop_size = crop_size
+        self.to_ycbcr = to_ycbcr
+        split_file = ("sep_trainlist.txt" if split == "train"
+                      else "sep_testlist.txt")
+        self.sequences = (_read_split_file(root, split_file)
+                          or _list_sequences(root))
+        if not self.sequences:
+            raise ValueError(f"No Vimeo sequences under {root}")
+
+    def __len__(self):
+        return len(self.sequences)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        from PIL import Image
+
+        rng = rng or np.random.default_rng()
+        seq = self.sequences[idx]
+        frames = []
+        for i in range(1, self.seq_len + 1):
+            path = os.path.join(self.root, "sequences", seq, f"im{i}.png")
+            rgb = np.asarray(Image.open(path).convert("RGB"),
+                             np.float32) / 255.0
+            frames.append(rgb2ycbcr_np(rgb) if self.to_ycbcr else rgb)
+        frames = np.stack(frames)
+        if self.crop_size:
+            t_, h, w, _ = frames.shape
+            c = self.crop_size
+            top = int(rng.integers(0, max(1, h - c + 1)))
+            left = int(rng.integers(0, max(1, w - c + 1)))
+            frames = frames[:, top:top + c, left:left + c]
+        masks = np.zeros(frames.shape[:3] + (1,), np.float32)
+        return frames, masks
+
+
+class Vimeo90kImageDataset:
+    """Random single frames from septuplets (for intra-model training)."""
+
+    def __init__(self, root: str, split: str = "train",
+                 crop_size: Optional[int] = 256, to_ycbcr: bool = True):
+        self._seq = Vimeo90kDataset(root, split, seq_len=7,
+                                    crop_size=crop_size, to_ycbcr=to_ycbcr)
+
+    def __len__(self):
+        return len(self._seq)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        frames, _ = self._seq.__getitem__(idx, rng=rng)
+        return frames[int(rng.integers(0, frames.shape[0]))]
+
+
+class Vimeo90kMP4Dataset:  # pragma: no cover - requires a video decoder
+    """MP4-backed variant: requires cv2/ffmpeg, absent in this image."""
+
+    def __init__(self, *a, **kw):
+        raise RuntimeError(
+            "Vimeo90kMP4Dataset needs an MP4 decoder (cv2/ffmpeg), which is "
+            "not available in this image; use the 7-PNG Vimeo90kDataset.")

@@ -1,0 +1,149 @@
+"""Auxiliary subsystems: lidar projection, vimeo datasets, transforms,
+debug probe, visualization, checkpoint save/restore."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_lidar_projection_round_trip():
+    from ssgvc_tpu.data.lidar import (
+        build_laser_proto,
+        build_range_image_blobs,
+        project_top_lidar,
+    )
+
+    h_ri, w_ri = 4, 8
+    ri = np.zeros((h_ri, w_ri, 4), np.float32)
+    cp = np.zeros((h_ri, w_ri, 6), np.int64)
+    # two valid points projecting into a 32x48 FRONT image
+    ri[0, 0, 0] = 30.0      # range
+    ri[0, 0, 1] = 0.5       # intensity
+    cp[0, 0] = [1, 10, 5, 0, 0, 0]
+    ri[2, 3, 0] = 75.0
+    cp[2, 3] = [1, 47, 31, 0, 0, 0]
+    # an invalid point (range 0) and a point on another camera
+    cp[1, 1] = [1, 1, 1, 0, 0, 0]
+    ri[3, 3, 0] = 10.0
+    cp[3, 3] = [2, 5, 5, 0, 0, 0]
+
+    blobs = build_range_image_blobs(ri, cp)
+    frame = build_laser_proto(*blobs)
+    proj = project_top_lidar(frame, 32, 48)
+    assert proj.shape == (32, 48, 3)
+    assert proj[5, 10, 0] == 1.0
+    assert proj[5, 10, 1] == pytest.approx(30 / 75)
+    assert proj[31, 47, 0] == 1.0
+    assert proj[1, 1, 0] == 0.0   # range 0 filtered
+    assert proj[5, 5, 0] == 0.0   # other camera filtered
+    assert proj[..., 0].sum() == 2.0
+
+
+def test_vimeo_dataset(tmp_path):
+    from PIL import Image
+    from ssgvc_tpu.data.vimeo import Vimeo90kDataset, Vimeo90kImageDataset
+
+    rng = np.random.default_rng(0)
+    for seq in ("00001/0001", "00001/0002"):
+        d = tmp_path / "sequences" / seq
+        d.mkdir(parents=True)
+        for i in range(1, 8):
+            img = (rng.uniform(0, 1, (48, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"im{i}.png")
+
+    ds = Vimeo90kDataset(str(tmp_path), crop_size=32)
+    assert len(ds) == 2
+    frames, masks = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert frames.shape == (7, 32, 32, 3)
+    assert masks.shape == (7, 32, 32, 1) and masks.sum() == 0
+
+    img_ds = Vimeo90kImageDataset(str(tmp_path), crop_size=32)
+    frame = img_ds.__getitem__(1, rng=np.random.default_rng(2))
+    assert frame.shape == (32, 32, 3)
+
+
+def test_sequence_transforms():
+    from ssgvc_tpu.data.video_transform import (
+        ColorJitterSequence,
+        Compose,
+        RandomCropTransform,
+        RandomHorizontalFlipSequence,
+        RandomRotationSequence,
+        RGBtoYUVTransform,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 1, (3, 16, 20, 3)).astype(np.float32)
+
+    out = RandomCropTransform(8)(frames, rng=np.random.default_rng(0))
+    assert out.shape == (3, 8, 8, 3)
+
+    flipped = RandomHorizontalFlipSequence(p=1.0)(frames)
+    np.testing.assert_array_equal(flipped[:, :, ::-1], frames)
+
+    rot = RandomRotationSequence(quarter_turns=(1,))(frames)
+    assert rot.shape == (3, 20, 16, 3)
+
+    jit = ColorJitterSequence()(frames, rng=np.random.default_rng(1))
+    assert jit.shape == frames.shape and jit.min() >= 0 and jit.max() <= 1
+
+    ycc = RGBtoYUVTransform("444")(frames)
+    assert ycc.shape == frames.shape
+    y, uv = RGBtoYUVTransform("420")(frames)
+    assert y.shape == (3, 16, 20) and uv.shape == (3, 8, 10, 2)
+
+    comp = Compose([RandomCropTransform(8), RandomHorizontalFlipSequence(0.0)])
+    assert comp(frames, rng=np.random.default_rng(2)).shape == (3, 8, 8, 3)
+
+
+def test_debug_probe(tmp_path):
+    from ssgvc_tpu.utils.debug import DebugProbe, tree_norm, tree_stats
+
+    params = {"a": {"kernel": jnp.ones((3, 3))}, "b": jnp.zeros(5)}
+    assert tree_norm(params) == pytest.approx(3.0)
+    stats = tree_stats(params)
+    assert stats["a/kernel"]["norm"] == pytest.approx(3.0)
+
+    probe = DebugProbe(enabled=True, save_dir=str(tmp_path))
+    batch = {"frames": np.zeros((1, 2, 8, 8, 3))}
+    ok = probe.after_step(batch, {"loss": 1.0})
+    assert ok
+    bad = probe.after_step(batch, {"loss": float("nan")})
+    assert not bad
+    assert any(f.startswith("bad_batch") for f in os.listdir(tmp_path))
+
+
+def test_finite_check_passthrough():
+    from ssgvc_tpu.utils.debug import finite_check
+
+    x = jnp.ones((4, 4))
+    out = jax.jit(lambda v: finite_check(v, "test") * 2)(x)
+    np.testing.assert_array_equal(np.asarray(out), 2 * np.ones((4, 4)))
+
+
+def test_visualize_q_scale(tmp_path):
+    from ssgvc_tpu.utils.visualize import save_recon_panel, visualize_q_scale
+
+    q = np.random.default_rng(0).uniform(0.5, 2.0, (64, 32)).astype(np.float32)
+    paths = visualize_q_scale(q, str(tmp_path), make_gif=False)
+    assert os.path.exists(paths["stats"])
+
+    ycc = np.random.default_rng(1).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    p = save_recon_panel(ycc, ycc, str(tmp_path / "panel.png"))
+    assert os.path.exists(p)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    from ssgvc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.int32(7)}
+    path = save_checkpoint(str(tmp_path / "ckpt"), state)
+    restored = restore_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7

@@ -148,6 +148,7 @@ class TrainConfig:
     roi_weight: float = 100.0         # ROI MSE weight (1 + w*mask)
 
     exp_name: str = "video-compression-waymo"
+    model_profile: str = "full"       # full | tiny (CI/smoke runs)
     log_dir: str = "./logs"
     seed: int = 42
     precision: str = "bf16-mixed"     # TPU: bf16 compute, fp32 params/entropy

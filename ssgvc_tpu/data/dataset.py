@@ -66,7 +66,8 @@ class WaymoClipDataset:
 
     def __init__(self, tfrecord_paths, seg_cache_dir: str = "seg_cache",
                  seq_len: int = 4, slide: int = 1,
-                 crop_size: Optional[int] = 128, strict_masks: bool = False):
+                 crop_size: Optional[int] = 128, strict_masks: bool = False,
+                 return_proj: bool = False):
         if isinstance(tfrecord_paths, str):
             tfrecord_paths = sorted(glob.glob(tfrecord_paths))
         self.paths: List[str] = list(tfrecord_paths)
@@ -77,6 +78,7 @@ class WaymoClipDataset:
         self.slide = int(slide)
         self.crop_size = int(crop_size) if crop_size else None
         self.strict_masks = strict_masks
+        self.return_proj = return_proj
 
         self._offsets: Dict[str, List[int]] = {
             p: tfrecord.record_offsets(p) for p in self.paths}
@@ -97,7 +99,7 @@ class WaymoClipDataset:
         tf_path, start = self._index[idx]
         offsets = self._offsets[tf_path]
 
-        frames, masks = [], []
+        frames, masks, projs = [], [], []
         with open(tf_path, "rb") as f:
             for frame_idx in range(start, start + self.seq_len):
                 payload = tfrecord.read_record_at(f, offsets[frame_idx])
@@ -110,9 +112,13 @@ class WaymoClipDataset:
                                         h, w, self.strict_masks)
                 frames.append(np.clip(rgb2ycbcr_np(rgb), 0.0, 1.0))
                 masks.append(mask)
+                if self.return_proj:
+                    from .lidar import project_top_lidar
+                    projs.append(project_top_lidar(payload, h, w))
 
         frames = np.stack(frames)  # (T, H, W, 3)
         masks = np.stack(masks)    # (T, H, W, 1)
+        projs = np.stack(projs) if projs else None
         if self.crop_size is not None:
             t_, h, w, _ = frames.shape
             c = self.crop_size
@@ -122,6 +128,10 @@ class WaymoClipDataset:
             left = int(rng.integers(0, w - c + 1))
             frames = frames[:, top:top + c, left:left + c]
             masks = masks[:, top:top + c, left:left + c]
+            if projs is not None:
+                projs = projs[:, top:top + c, left:left + c]
+        if self.return_proj:
+            return frames, masks, projs
         return frames, masks
 
 

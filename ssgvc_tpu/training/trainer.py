@@ -79,7 +79,15 @@ class Trainer:
                  mesh=None):
         self.cfg = cfg
         dtype = "bfloat16" if "bf16" in cfg.precision else "float32"
-        self.dmc_cfg = dmc_cfg or DMCConfig.variant(cfg.dmc_variant, dtype=dtype)
+        if dmc_cfg is None:
+            if getattr(cfg, "model_profile", "full") == "tiny":
+                dmc_cfg = DMCConfig.variant(cfg.dmc_variant, dtype=dtype,
+                                            ch_d=16, ch_y=8, ch_z=8,
+                                            ch_recon=16)
+                dmci_cfg = dmci_cfg or DMCIConfig.tiny()
+            else:
+                dmc_cfg = DMCConfig.variant(cfg.dmc_variant, dtype=dtype)
+        self.dmc_cfg = dmc_cfg
         self.dmci_cfg = dmci_cfg or DMCIConfig(dtype=dtype)
         self.dmc = DMC(self.dmc_cfg)
         self.dmci = DMCI(self.dmci_cfg)

@@ -126,3 +126,25 @@ def test_dmc_bitrate_sane(codec):
     n_pixels = 64 * 64
     bpp = len(out["bit_stream"]) * 8 / n_pixels
     assert 0.001 < bpp < 24.0
+
+
+def test_coding_session_file_round_trip(codec, tmp_path):
+    """Whole sequence -> container file -> decode; bit-exact recons."""
+    from ssgvc_tpu.coding.session import CodingSession
+
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32)
+    masks = (rng.uniform(0, 1, (5, 64, 64, 1)) > 0.6).astype(np.float32)
+    session = CodingSession(codec, gop_size=4)
+
+    path = tmp_path / "seq.bin"
+    with open(path, "wb") as f:
+        stats = session.encode_sequence(f, frames, qp=25, masks=masks)
+    assert stats["frame_types"] == ["I", "P", "P", "P", "I"]
+    assert all(b > 0 for b in stats["frame_bits"])
+
+    with open(path, "rb") as f:
+        decoded = session.decode_sequence(f)
+    assert len(decoded) == 5
+    for rec, enc_rec in zip(decoded, stats["recons"]):
+        np.testing.assert_array_equal(rec, enc_rec)

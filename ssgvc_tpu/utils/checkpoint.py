@@ -33,6 +33,48 @@ def save_checkpoint(path: str, state, step: Optional[int] = None):
     return path
 
 
+class CheckpointManager:
+    """Top-k + last checkpoint retention keyed on a monitored metric.
+
+    The Lightning ModelCheckpoint equivalent (monitor='val/loss',
+    save_top_k, save_last — trainer_seg_video_model.py:1471-1478).
+    """
+
+    def __init__(self, directory: str, monitor: str = "val/loss",
+                 top_k: int = 3, mode: str = "min"):
+        self.directory = directory
+        self.monitor = monitor
+        self.top_k = top_k
+        self.mode = mode
+        self._best: list = []  # [(metric, path)]
+
+    def save(self, state, metrics: dict, step: int):
+        import shutil
+
+        os.makedirs(self.directory, exist_ok=True)
+        last = os.path.join(self.directory, "last")
+        save_checkpoint(last, state)
+
+        value = metrics.get(self.monitor)
+        if value is None:
+            return last
+        value = float(value)
+        sign = 1.0 if self.mode == "min" else -1.0
+        path = os.path.join(self.directory, f"step{step}")
+        if len(self._best) < self.top_k or sign * value < sign * self._best[-1][0]:
+            save_checkpoint(path, state)
+            self._best.append((value, path))
+            self._best.sort(key=lambda kv: sign * kv[0])
+            while len(self._best) > self.top_k:
+                _, drop = self._best.pop()
+                shutil.rmtree(drop, ignore_errors=True)
+        return last
+
+    @property
+    def best_path(self):
+        return self._best[0][1] if self._best else None
+
+
 def restore_checkpoint(path: str, target=None):
     import orbax.checkpoint as ocp
 

@@ -147,3 +147,34 @@ def test_checkpoint_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.arange(6.0).reshape(2, 3))
     assert int(restored["step"]) == 7
+
+
+def test_create_optimizers():
+    import optax
+    from ssgvc_tpu.training.optimizers import aux_label, create_optimizers
+
+    assert aux_label(("bit_estimator_z", "f1", "h")) == "aux"
+    assert aux_label(("encoder", "conv1", "kernel")) == "main"
+    tx = create_optimizers(total_iters=100)
+    params = {"encoder": {"kernel": jnp.ones((4, 4))},
+              "bit_estimator_z": {"h": jnp.ones((8, 2))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    moved = jax.tree_util.tree_map(lambda u: float(jnp.abs(u).sum()), updates)
+    assert moved["encoder"]["kernel"] > 0
+    assert moved["bit_estimator_z"]["h"] > 0
+
+
+def test_checkpoint_manager(tmp_path):
+    from ssgvc_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), monitor="val/loss", top_k=2)
+    for step, loss in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 1.0)]:
+        mgr.save({"w": jnp.float32(step)}, {"val/loss": loss}, step)
+    assert os.path.exists(os.path.join(tmp_path, "last"))
+    # top-2 kept: losses 1.0 (step4) and 3.0 (step2)
+    assert os.path.exists(os.path.join(tmp_path, "step4"))
+    assert os.path.exists(os.path.join(tmp_path, "step2"))
+    assert not os.path.exists(os.path.join(tmp_path, "step1"))
+    assert mgr.best_path.endswith("step4")

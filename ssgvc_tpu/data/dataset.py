@@ -202,9 +202,15 @@ class ClipDataModule:
     def _iter(self, indices: np.ndarray, shuffle: bool, loop: bool,
               seed: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
+        if len(indices) == 0:
+            return
         epoch = 0
         while True:
             order = rng.permutation(indices) if shuffle else indices
+            if len(order) < self.batch_size:
+                # splits smaller than a batch: sample with replacement so the
+                # iterator still yields full (static-shape) batches
+                order = rng.choice(order, size=self.batch_size, replace=True)
             for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
                 chunk = order[i:i + self.batch_size]
                 frames, masks = [], []

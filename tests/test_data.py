@@ -131,3 +131,12 @@ def test_synthetic_datamodule():
     f2, m2 = ds.__getitem__(3)
     np.testing.assert_array_equal(f1, f2)
     assert m1.any()
+
+
+def test_small_split_still_yields_batches():
+    """Splits smaller than batch_size must not spin forever (regression)."""
+    ds = SyntheticClipDataset(num_clips=10, seq_len=2, crop_size=32)
+    dm = ClipDataModule(ds, batch_size=4, split=(0.8, 0.2, 0.0), seed=0)
+    assert len(dm.val_indices) == 2  # smaller than batch_size
+    batch = next(dm.val_iter(loop=True))
+    assert batch["frames"].shape[0] == 4

@@ -67,12 +67,13 @@ class VideoCodec:
     """Trained DMCI + DMC params + rANS tables + jitted per-stage programs."""
 
     def __init__(self, dmci: DMCI, dmci_params, dmc: DMC, dmc_params,
-                 scale_levels: int = 128):
+                 scale_levels: int = 128, ec_part: int = 0):
         self.dmci = dmci
         self.dmc = dmc
         self.params_i = dmci_params
         self.params_p = dmc_params
         self.scale_levels = scale_levels
+        self.ec_part = int(ec_part)
 
         # quantized CDF tables — the reference's update() (SURVEY §2.4)
         self.ec_i = EntropyCoder()
@@ -87,6 +88,11 @@ class VideoCodec:
         self.z_group_i = self.ec_i.add_cdf(*z_i)
         self.y_group_p = self.ec_p.add_cdf(*y_tables)
         self.z_group_p = self.ec_p.add_cdf(*z_p)
+        if self.ec_part:
+            # split symbols across two rANS streams so decode parallelizes
+            # (set_use_two_entropy_coders, src/models/entropy_models.py:79-81)
+            self.ec_i.set_use_two_entropy_coders(True)
+            self.ec_p.set_use_two_entropy_coders(True)
 
         self.enc_time = 0.0
         self.dec_time = 0.0

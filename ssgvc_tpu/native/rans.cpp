@@ -62,8 +62,19 @@ class RansEncImpl {
   }
 
   void put(int32_t value, int32_t index, int32_t group) {
-    // alternate halves between the two streams at flush; buffer jointly here
     pending[0].push_back({value, index, group});
+  }
+
+  // Two-stream mode splits EACH batch call half/half, mirroring the
+  // decoder's per-call split (decode_batch), so both sides stay in sync.
+  void put_batch_split(const PendingSymbol* syms, size_t n) {
+    if (!two_streams) {
+      pending[0].insert(pending[0].end(), syms, syms + n);
+      return;
+    }
+    size_t half = n / 2;
+    pending[0].insert(pending[0].end(), syms, syms + half);
+    pending[1].insert(pending[1].end(), syms + half, syms + n);
   }
 
   // rANS encode of a pending list (LIFO -> iterate in reverse), returns bytes
@@ -144,11 +155,8 @@ class RansEncImpl {
     if (!two_streams) {
       encoded = encode_stream(pending[0]);
     } else {
-      size_t half = pending[0].size() / 2;
-      std::vector<PendingSymbol> a(pending[0].begin(), pending[0].begin() + half);
-      std::vector<PendingSymbol> b(pending[0].begin() + half, pending[0].end());
-      auto sa = encode_stream(a);
-      auto sb = encode_stream(b);
+      auto sa = encode_stream(pending[0]);
+      auto sb = encode_stream(pending[1]);
       uint32_t len_a = static_cast<uint32_t>(sa.size());
       encoded.resize(4);
       std::memcpy(encoded.data(), &len_a, 4);
@@ -156,6 +164,7 @@ class RansEncImpl {
       encoded.insert(encoded.end(), sb.begin(), sb.end());
     }
     pending[0].clear();
+    pending[1].clear();
   }
 };
 
@@ -294,28 +303,34 @@ void rans_encoder_encode_with_indexes(void* h, const int16_t* symbols,
                                       const int32_t* indexes, size_t n,
                                       int group) {
   auto* e = static_cast<RansEncImpl*>(h);
-  for (size_t i = 0; i < n; ++i) e->put(symbols[i], indexes[i], group);
+  std::vector<PendingSymbol> batch(n);
+  for (size_t i = 0; i < n; ++i) batch[i] = {symbols[i], indexes[i], group};
+  e->put_batch_split(batch.data(), n);
 }
 
 // fused RT interface: int16 packed (symbol<<8)|index
 void rans_encoder_encode_y(void* h, const int16_t* packed, size_t n,
                            int group) {
   auto* e = static_cast<RansEncImpl*>(h);
+  std::vector<PendingSymbol> batch(n);
   for (size_t i = 0; i < n; ++i) {
     int32_t value = packed[i] >> 8;          // arithmetic shift keeps sign
     int32_t index = packed[i] & 0xff;
-    e->put(value, index, group);
+    batch[i] = {value, index, group};
   }
+  e->put_batch_split(batch.data(), n);
 }
 
 // z interface: int8 symbols, row = start_offset + i / per_channel_size
 void rans_encoder_encode_z(void* h, const int8_t* symbols, size_t n, int group,
                            int start_offset, int per_channel_size) {
   auto* e = static_cast<RansEncImpl*>(h);
+  std::vector<PendingSymbol> batch(n);
   for (size_t i = 0; i < n; ++i) {
     int32_t index = start_offset + static_cast<int32_t>(i / per_channel_size);
-    e->put(symbols[i], index, group);
+    batch[i] = {symbols[i], index, group};
   }
+  e->put_batch_split(batch.data(), n);
 }
 
 void rans_encoder_flush(void* h) { static_cast<RansEncImpl*>(h)->flush(); }

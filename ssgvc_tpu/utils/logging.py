@@ -26,14 +26,32 @@ def is_main_process() -> bool:
 
 
 class CSVLogger:
-    """train_metrics.csv / val_metrics.csv with the reference's headers."""
+    """train_metrics.csv / val_metrics.csv with the reference's headers,
+    plus optional TensorBoard scalars (torch.utils.tensorboard when
+    available, mirroring the reference's TensorBoardLogger)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = False):
         self.log_dir = log_dir
         self.train_path = os.path.join(log_dir, "train_metrics.csv")
         self.val_path = os.path.join(log_dir, "val_metrics.csv")
+        self._tb = None
         if is_main_process():
             os.makedirs(log_dir, exist_ok=True)
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(log_dir)
+                except Exception as e:  # pragma: no cover
+                    print(f"[logging] tensorboard unavailable: {e}")
+
+    def _tb_scalars(self, prefix: str, step: int, metrics: Dict):
+        if self._tb is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
 
     def _write(self, path: str, headers, metrics: Dict):
         if not is_main_process():
@@ -50,6 +68,7 @@ class CSVLogger:
         metrics.setdefault("step", step)
         metrics.setdefault("epoch", 0)
         self._write(self.train_path, TRAIN_HEADERS, metrics)
+        self._tb_scalars("train", step, metrics)
         ts = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         print(f"[{ts}] step {step}: loss {metrics.get('loss', float('nan')):.6f} "
               f"bpp {metrics.get('bpp', float('nan')):.5f} "
@@ -60,6 +79,7 @@ class CSVLogger:
         metrics.setdefault("step", step)
         metrics.setdefault("epoch", 0)
         self._write(self.val_path, VAL_HEADERS, metrics)
+        self._tb_scalars("val", step, metrics)
 
 
 def save_config_snapshot(log_dir: str, cfg) -> Optional[str]:

@@ -148,3 +148,28 @@ def test_coding_session_file_round_trip(codec, tmp_path):
     assert len(decoded) == 5
     for rec, enc_rec in zip(decoded, stats["recons"]):
         np.testing.assert_array_equal(rec, enc_rec)
+
+
+def test_two_coder_codec_round_trip():
+    """ec_part=1 (two-stream split) stays bit-exact."""
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("performance", **TINY))
+    rng = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+    codec2 = VideoCodec(dmci, pi, dmc, pp, ec_part=1)
+
+    rngn = np.random.default_rng(9)
+    x = jnp.asarray(rngn.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    dpb = {"frame": x, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                            jnp.float32)}
+    out = codec2.dmc_compress(x, 24, dpb, after_i=True)
+    dec = codec2.dmc_decompress(out["bit_stream"], 64, 64, 24, dpb,
+                                after_i=True)
+    np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                  np.asarray(dec["x_hat"]))

@@ -71,10 +71,10 @@ class Conv(nn.Module):
 
 
 def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
-         dtype=None):
+         dtype=None, zero_init=False):
     """Bare nn.Conv with our conventions. Pass ``name`` in compact modules;
     in ``setup()`` the attribute name takes over (flax forbids explicit names
-    there)."""
+    there). ``zero_init`` zeroes the kernel (ReZero-style residual tails)."""
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
@@ -87,6 +87,8 @@ def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
         use_bias=True,
         dtype=dtype,
         param_dtype=jnp.float32,
+        kernel_init=(nn.initializers.zeros if zero_init
+                     else nn.initializers.lecun_normal()),
         name=name,
     )
 
@@ -111,16 +113,23 @@ class DepthConvBlock(nn.Module):
         if in_ch != self.out_ch or self.force_adaptor:
             x = conv(self.out_ch, 1, name="adaptor", dtype=self.dtype)(x)
 
+        # ReZero-style: the LAST conv of each residual branch starts at zero,
+        # so a freshly initialized stack is the identity and deep DCB chains
+        # do not blow up activations (flax's lecun_normal otherwise compounds
+        # ~2x per block and saturates the [0,1] recon clamp, killing all
+        # synthesis gradients). Imported torch checkpoints overwrite this.
         h = conv(self.out_ch, 1, name="dc_0", dtype=self.dtype)(x)
         h = wsilu(h)
         h = conv(self.out_ch, 3, padding=1, groups=self.out_ch, name="dc_2",
                  dtype=self.dtype)(h)
-        h = conv(self.out_ch, 1, name="dc_3", dtype=self.dtype)(h)
+        h = conv(self.out_ch, 1, name="dc_3", dtype=self.dtype,
+                 zero_init=True)(h)
         out = h + x
 
         f = conv(self.out_ch * 4, 1, name="ffn_0", dtype=self.dtype)(out)
         f = wsilu_chunk_add(f)
-        f = conv(self.out_ch, 1, name="ffn_2", dtype=self.dtype)(f)
+        f = conv(self.out_ch, 1, name="ffn_2", dtype=self.dtype,
+                 zero_init=True)(f)
         out = f + out
 
         if self.shortcut:

@@ -101,3 +101,34 @@ def test_batch_sharded_over_mesh():
     step = tr.jit_train_step()
     state2, aux = step(state, batch, jnp.int32(8), jax.random.PRNGKey(4))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_training_overfits_one_batch():
+    """Overfit-one-batch sanity: with a raised lr, repeated steps on one
+    fixed batch at one qp must reduce its RD loss. Catches broken gradients,
+    optimizer mislabeling, or detach bugs in the GOP rollout."""
+    from ssgvc_tpu.training.trainer import Trainer
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+
+    cfg = TrainConfig(dmc_variant="performance")
+    cfg.precision = "fp32"
+    cfg.optimizer.base_lr = 3e-3
+    tr = Trainer(cfg, total_iters=10_000,
+                 dmc_cfg=DMCConfig.variant("performance", ch_d=16, ch_y=8,
+                                           ch_z=8, ch_recon=16),
+                 dmci_cfg=DMCIConfig.tiny())
+
+    batch = make_batch(b=4, t=3, hw=64, seed=11)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    step = tr.jit_train_step()
+    ev = tr.jit_eval_step()
+
+    fixed_qp = jnp.int32(40)
+    before = float(ev(state, batch, fixed_qp, jax.random.PRNGKey(1))["loss"])
+    rng = jax.random.PRNGKey(2)
+    for _ in range(30):
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, fixed_qp, sub)
+        assert np.isfinite(float(aux["loss"]))
+    after = float(ev(state, batch, fixed_qp, jax.random.PRNGKey(1))["loss"])
+    assert after < before

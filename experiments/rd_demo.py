@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""End-to-end RD demonstration: train -> RD sweep -> real bitstreams.
+
+Trains a small codec on synthetic driving-like clips (moving textured
+objects with exact masks), then produces:
+  * an estimated-bpp RD curve over QPs (training path)
+  * a REAL-bitstream RD point (rANS coded, decoder verified bit-exact)
+  * ROI-PSNR comparison between the 'performance' (mask-SFT) variant and the
+    'plain' baseline at matched training budget — the reference's headline
+    experiment (README.md:7: +1-1.5 dB ROI PSNR at similar BPP)
+
+Writes artifacts/rd_demo.json. Runs in ~10-20 min on one TPU chip.
+
+    python experiments/rd_demo.py [steps]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def train_variant(variant: str, steps: int, dm, seed: int = 0):
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+    from ssgvc_tpu.training.trainer import Trainer
+
+    cfg = TrainConfig(dmc_variant=variant)
+    cfg.precision = "fp32"
+    cfg.optimizer.base_lr = 1e-3
+    cfg.roi_weight = 100.0
+    trainer = Trainer(
+        cfg, total_iters=steps,
+        dmc_cfg=DMCConfig.variant(variant, ch_d=32, ch_y=16, ch_z=16,
+                                  ch_recon=32),
+        dmci_cfg=DMCIConfig(enc_dec=48, N=32, z_channel=16),
+    )
+    it = dm.train_iter()
+    first = next(it)
+    batch0 = {k: jnp.asarray(v) for k, v in first.items()}
+    state = trainer.init_state(jax.random.PRNGKey(seed), batch0)
+    step = trainer.jit_train_step()
+    rng = jax.random.PRNGKey(seed + 1)
+    host_rng = np.random.default_rng(seed + 2)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        qp = jnp.int32(host_rng.integers(0, 64))
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, qp, sub)
+        if i % 100 == 0:
+            print(f"[{variant}] step {i}: loss {float(aux['loss']):.3f} "
+                  f"bpp {float(aux['bpp']):.4f} psnr {float(aux['psnr']):.2f}",
+                  flush=True)
+    print(f"[{variant}] {steps} steps in {time.perf_counter()-t0:.1f}s")
+    return trainer, jax.device_get(state)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    from ssgvc_tpu.data.dataset import ClipDataModule, SyntheticClipDataset
+    from ssgvc_tpu.training.evaluate import (
+        evaluate_gop_coded,
+        evaluate_gop_estimated,
+        rd_sweep,
+    )
+    from ssgvc_tpu.coding.codec import VideoCodec
+
+    ds = SyntheticClipDataset(num_clips=64, seq_len=4, crop_size=64, seed=3)
+    dm = ClipDataModule(ds, batch_size=8, split=(0.9, 0.1, 0.0), seed=3)
+
+    results = {"steps": steps, "variants": {}}
+    eval_clips = [ds.__getitem__(i, rng=np.random.default_rng(100 + i))
+                  for i in range(58, 62)]
+
+    codecs = {}
+    for variant in ("performance", "plain"):
+        trainer, state = train_variant(variant, steps, dm)
+        index_map = list(trainer.cfg.compression.index_map)
+        qp_shift = list(trainer.dmc_cfg.qp_shift)
+
+        def eval_qp(qp, _tr=trainer, _st=state):
+            out = []
+            for frames, masks in eval_clips:
+                out.extend(evaluate_gop_estimated(
+                    _tr.dmci, _st.params_i, _tr.dmc, _st.params_p,
+                    frames, masks, qp, index_map, qp_shift))
+            return out
+
+        curve = rd_sweep(eval_qp, qps=[8, 24, 40, 56])
+        results["variants"][variant] = {"estimated_rd": curve}
+        codecs[variant] = (trainer, state)
+        print(f"[{variant}] RD: bpp={curve['bpp']}")
+        print(f"[{variant}]     psnr={curve['psnr']}")
+        print(f"[{variant}]     roi_psnr={curve['roi_psnr']}", flush=True)
+
+    # real coded path for the flagship variant at one qp
+    trainer, state = codecs["performance"]
+    codec = VideoCodec(trainer.dmci, state.params_i, trainer.dmc,
+                       state.params_p)
+    frames, masks = eval_clips[0]
+    coded = evaluate_gop_coded(codec, frames, masks, qp=24,
+                               index_map=list(trainer.cfg.compression.index_map),
+                               qp_shift=list(trainer.dmc_cfg.qp_shift))
+    results["coded_gop_qp24"] = [
+        {k: round(float(v), 5) if isinstance(v, float) else v
+         for k, v in r.items()} for r in coded]
+    est_bpp = results["variants"]["performance"]["estimated_rd"]["bpp"][1]
+    real_bpp = float(np.mean([r["bpp"] for r in coded if r["frame_type"] == "P"]))
+    results["estimate_vs_real_bpp_qp24"] = {"estimated": est_bpp,
+                                            "real": real_bpp}
+    print(f"[coded] estimated bpp {est_bpp:.4f} vs real stream bpp "
+          f"{real_bpp:.4f} (decoder verified bit-exact)")
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/rd_demo.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote artifacts/rd_demo.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,53 @@ def test_checkpoint_manager(tmp_path):
     assert os.path.exists(os.path.join(tmp_path, "step2"))
     assert not os.path.exists(os.path.join(tmp_path, "step1"))
     assert mgr.best_path.endswith("step4")
+
+
+def test_profiling_utils():
+    from ssgvc_tpu.utils.profiling import (
+        AverageMeter,
+        device_memory_stats,
+        param_summary,
+        timed,
+    )
+
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.avg == pytest.approx(3.5)
+
+    stats = device_memory_stats()
+    assert len(stats) >= 1
+
+    params = {"encoder": {"conv": {"kernel": jnp.ones((3, 3, 4, 8))}},
+              "head": {"bias": jnp.ones(8)}}
+    table = param_summary(params)
+    assert "TOTAL" in table and "296" in table
+
+    f = jax.jit(lambda x: x * 2)
+    dt = timed(f, jnp.ones((8, 8)), iters=2)
+    assert dt >= 0
+
+
+def test_torch_import_helpers():
+    from ssgvc_tpu.utils.torch_import import (
+        inflate_input_conv,
+        normalize_prefix,
+        torch_key_to_flax_path,
+    )
+
+    assert torch_key_to_flax_path("enc.dec.0.dc.2.weight") == (
+        "enc", "dec_0", "dc_2", "weight")
+
+    sd = {"p_frame_model.encoder.conv1.weight": 1,
+          "p_frame_model.encoder.conv1.bias": 2,
+          "other.thing": 3}
+    out = normalize_prefix(sd, {"encoder.conv1.weight", "encoder.conv1.bias"})
+    assert "encoder.conv1.weight" in out
+
+    k = np.ones((1, 1, 3, 8), np.float32)
+    k4 = inflate_input_conv(k, extra_in=1, mode="zero")
+    assert k4.shape == (1, 1, 4, 8)
+    assert (k4[:, :, 3] == 0).all()
+    k4m = inflate_input_conv(k, extra_in=1, mode="mean")
+    assert (k4m[:, :, 3] == 1).all()

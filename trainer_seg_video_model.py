@@ -93,7 +93,15 @@ def main(argv):
           f"steps/epoch={steps_per_epoch} total={total_iters}")
 
     state = None
-    if cfg.image_checkpoint_path or cfg.video_checkpoint_path:
+    if cfg.resume_from_checkpoint:
+        from ssgvc_tpu.training.trainer import TrainState
+        from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+        import jax as _jax
+        template = trainer.init_state(_jax.random.PRNGKey(cfg.seed))
+        state = TrainState(*restore_checkpoint(cfg.resume_from_checkpoint,
+                                               target=tuple(template)))
+        print(f"[resume] restored {cfg.resume_from_checkpoint}")
+    elif cfg.image_checkpoint_path or cfg.video_checkpoint_path:
         from ssgvc_tpu.utils.checkpoint import load_pretrained
         state = load_pretrained(trainer, cfg)
 

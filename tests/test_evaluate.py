@@ -1,0 +1,84 @@
+"""Evaluation path + streaming inference API on tiny models (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssgvc_tpu.config import DMCConfig, DMCIConfig
+from ssgvc_tpu.models.dmc import DMC
+from ssgvc_tpu.models.dmci import DMCI
+from ssgvc_tpu.models.inference_api import StreamingDMC
+from ssgvc_tpu.training.evaluate import evaluate_gop_estimated, rd_sweep
+
+TINY = dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+
+
+@pytest.fixture(scope="module")
+def models():
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("performance", **TINY))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb = {"frame": x, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                            jnp.float32)}
+    pi = dmci.init({"params": rng}, x, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x, jnp.int32(0), dpb,
+                  after_i=jnp.bool_(True), mask=mask, train=False)["params"]
+    return dmci, pi, dmc, pp
+
+
+def test_evaluate_gop_estimated(models):
+    dmci, pi, dmc, pp = models
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    masks = (rng.uniform(0, 1, (3, 64, 64, 1)) > 0.7).astype(np.float32)
+    results = evaluate_gop_estimated(dmci, pi, dmc, pp, frames, masks, qp=20,
+                                     index_map=[0, 1, 0, 2, 0, 2, 0, 2],
+                                     qp_shift=[0, 8, 4])
+    assert [r["frame_type"] for r in results] == ["I", "P", "P"]
+    for r in results:
+        assert np.isfinite(r["bpp"]) and r["bpp"] > 0
+        assert 0 < r["psnr"] <= 99.9
+        assert 0 < r["roi_psnr"] <= 99.9
+
+
+def test_rd_sweep_shape(models):
+    dmci, pi, dmc, pp = models
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 64, 64, 1), np.float32)
+
+    def eval_qp(qp):
+        return evaluate_gop_estimated(dmci, pi, dmc, pp, frames, masks, qp,
+                                      [0, 1, 0, 2, 0, 2, 0, 2], [0, 8, 4])
+
+    curve = rd_sweep(eval_qp, qps=[8, 48])
+    assert len(curve["bpp"]) == 2 and len(curve["psnr"]) == 2
+
+
+def test_streaming_packed_dpb_matches_dict_forward(models):
+    _, _, dmc, pp = models
+    stream = StreamingDMC(dmc, pp)
+    rng = np.random.default_rng(2)
+    prev = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    frame = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    mask = jnp.zeros((1, 64, 64, 1), jnp.float32)
+
+    packed = stream.init_dpb(prev)
+    np.testing.assert_allclose(np.asarray(stream.unpack_frame(packed)),
+                               np.asarray(prev), atol=1e-6)
+
+    new_packed, bpp = stream.step(frame, mask, jnp.int32(30), packed,
+                                  after_i=True)
+    # reference result through the plain dict API
+    dpb = {"frame": prev, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                               jnp.float32)}
+    out = dmc.apply({"params": pp}, frame, jnp.int32(30), dpb, after_i=True,
+                    mask=mask, train=False)
+    np.testing.assert_allclose(np.asarray(stream.unpack_frame(new_packed)),
+                               np.asarray(out["dpb"]["frame"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bpp), np.asarray(out["bpp"]),
+                               rtol=1e-5, atol=1e-5)

@@ -1,15 +1,15 @@
 from .blocks import (
-    Conv,
     DepthConvBlock,
     ResidualBlockUpsample,
     ResidualBlockWithStride2,
     SubpelConv2x,
+    conv,
     wsilu,
 )
 from .quant import noise_quant, ste_round
 
 __all__ = [
-    "Conv",
+    "conv",
     "DepthConvBlock",
     "ResidualBlockUpsample",
     "ResidualBlockWithStride2",

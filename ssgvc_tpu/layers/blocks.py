@@ -41,35 +41,6 @@ def wsilu_chunk_add(x: jnp.ndarray) -> jnp.ndarray:
     return x1 + x2
 
 
-class Conv(nn.Module):
-    """2D conv wrapper: NHWC, HWIO kernel, fp32 params, compute in ``dtype``."""
-
-    features: int
-    kernel_size: int = 1
-    stride: int = 1
-    padding: Any = 0
-    feature_group_count: int = 1
-    use_bias: bool = True
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad), (pad, pad)]
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            feature_group_count=self.feature_group_count,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-
-
 def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
          dtype=None, zero_init=False):
     """Bare nn.Conv with our conventions. Pass ``name`` in compact modules;

@@ -178,7 +178,7 @@ class Trainer:
     # ------------------------------------------------------------- GOP loss
 
     def _p_frame_losses(self, params_p, frames, masks, qp, dpb, rng,
-                        train: bool, eval_mode: bool, alm_mu):
+                        train: bool, eval_mode: bool):
         """Roll P-frames 1..T-1; returns (per-frame metric stack, extras)."""
         cfg = self.cfg
         seq_len = frames.shape[1]
@@ -256,7 +256,7 @@ class Trainer:
         return metrics, dpb
 
     def gop_loss(self, params_p, params_i, frames, masks, qp, rng,
-                 train: bool, eval_mode: bool, alm_mu):
+                 train: bool, eval_mode: bool):
         """Full GOP: I-frame (frozen) then P-frames. Returns (scalar loss,
         aux metrics dict)."""
         i_out = self.dmci.apply({"params": params_i}, frames[:, 0], qp,
@@ -270,7 +270,7 @@ class Trainer:
                  self.dmc_cfg.ch_d), frames.dtype),
         }
         metrics, _ = self._p_frame_losses(params_p, frames, masks, qp, dpb,
-                                          rng, train, eval_mode, alm_mu)
+                                          rng, train, eval_mode)
         mean = metrics.mean(axis=0)
         aux = {
             "loss": mean[0], "bpp": mean[1], "bpp_y": mean[2],
@@ -287,7 +287,7 @@ class Trainer:
         def loss_fn(params_p):
             return self.gop_loss(params_p, state.params_i, batch["frames"],
                                  batch["masks"], qp, rng, train=True,
-                                 eval_mode=False, alm_mu=state.alm_mu)
+                                 eval_mode=False)
 
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params_p)
         updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -309,8 +309,7 @@ class Trainer:
                   rng: jax.Array):
         _, aux = self.gop_loss(state.params_p, state.params_i,
                                batch["frames"], batch["masks"], qp, rng,
-                               train=False, eval_mode=True,
-                               alm_mu=state.alm_mu)
+                               train=False, eval_mode=True)
         return aux
 
     def jit_train_step(self):

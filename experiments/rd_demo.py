@@ -27,7 +27,60 @@ import jax
 import jax.numpy as jnp
 
 
-def train_variant(variant: str, steps: int, dm, seed: int = 0):
+EVAL_QPS = np.asarray([8, 24, 40, 56])
+
+
+def pretrain_dmci(steps: int, dm, seed: int = 17):
+    """The reference freezes a PRETRAINED DCVC-RT intra model; with no
+    checkpoint available we pretrain our small DMCI on the demo frames so the
+    GOP isn't floored by a garbage I-frame."""
+    import optax
+    from ssgvc_tpu.config import DMCIConfig
+    from ssgvc_tpu.models.dmci import DMCI
+    from ssgvc_tpu.training.loss import compute_lambda, psnr_from_mse
+
+    model = DMCI(DMCIConfig(enc_dec=48, N=32, z_channel=16))
+    it = dm.train_iter()
+    first = next(it)
+    x0 = jnp.asarray(first["frames"][:, 0])
+    rng = jax.random.PRNGKey(seed)
+    params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
+                        train=False)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, qp, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, qp, train=True,
+                              rngs={"noise": rng})
+            mse = jnp.mean((out["dpb"]["frame"].astype(jnp.float32) - x) ** 2)
+            lam = compute_lambda(qp, 50.0, 38400.0)
+            loss = jnp.mean(out["bpp"]) + lam * mse
+            return loss, (mse, jnp.mean(out["bpp"]))
+
+        grads, (mse, bpp) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, mse, bpp
+
+    host = np.random.default_rng(seed)
+    for i in range(steps):
+        batch = next(it)
+        t = int(host.integers(0, batch["frames"].shape[1]))
+        x = jnp.asarray(batch["frames"][:, t])
+        qp = jnp.int32(int(np.clip(host.choice(EVAL_QPS)
+                                   + host.integers(-2, 3), 0, 63)))
+        rng, sub = jax.random.split(rng)
+        params, opt_state, mse, bpp = step(params, opt_state, x, qp, sub)
+        if i % 200 == 0:
+            print(f"[dmci] step {i}: psnr "
+                  f"{float(psnr_from_mse(mse)):.2f} bpp {float(bpp):.4f}",
+                  flush=True)
+    return model, params
+
+
+def train_variant(variant: str, steps: int, dm, seed: int = 0,
+                  params_i=None):
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
     from ssgvc_tpu.training.trainer import Trainer
 
@@ -44,7 +97,8 @@ def train_variant(variant: str, steps: int, dm, seed: int = 0):
     it = dm.train_iter()
     first = next(it)
     batch0 = {k: jnp.asarray(v) for k, v in first.items()}
-    state = trainer.init_state(jax.random.PRNGKey(seed), batch0)
+    state = trainer.init_state(jax.random.PRNGKey(seed), batch0,
+                               params_i=params_i)
     step = trainer.jit_train_step()
     rng = jax.random.PRNGKey(seed + 1)
     host_rng = np.random.default_rng(seed + 2)
@@ -52,10 +106,9 @@ def train_variant(variant: str, steps: int, dm, seed: int = 0):
     # concentrate qp sampling on the eval set (+- jitter): at demo budgets
     # uniform qp in [0, 64) gives each per-QP table row only ~steps/64 updates
     # and the RD curve stays flat
-    eval_qps = np.asarray([8, 24, 40, 56])
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        qp = jnp.int32(int(np.clip(host_rng.choice(eval_qps)
+        qp = jnp.int32(int(np.clip(host_rng.choice(EVAL_QPS)
                                    + host_rng.integers(-2, 3), 0, 63)))
         rng, sub = jax.random.split(rng)
         state, aux = step(state, batch, qp, sub)
@@ -84,9 +137,11 @@ def main():
     eval_clips = [ds.__getitem__(i, rng=np.random.default_rng(100 + i))
                   for i in range(58, 62)]
 
+    _, params_i = pretrain_dmci(max(800, steps // 2), dm)
+
     codecs = {}
     for variant in ("performance", "plain"):
-        trainer, state = train_variant(variant, steps, dm)
+        trainer, state = train_variant(variant, steps, dm, params_i=params_i)
         index_map = list(trainer.cfg.compression.index_map)
         qp_shift = list(trainer.dmc_cfg.qp_shift)
 

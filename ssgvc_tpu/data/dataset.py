@@ -233,18 +233,32 @@ class ClipDataModule:
 
 
 def make_datamodule(cfg) -> ClipDataModule:
-    """Build from DatasetConfig: Waymo TFRecords if present, else synthetic."""
+    """Unified datamodule dispatch (the reference's UnifiedVideoDataModule,
+    src/dataset/datamodule.py:15-321): waymo TFRecords / vimeo septuplets /
+    synthetic fallback, selected by dataset_type + what exists on disk."""
     ds_cfg = cfg.dataset if hasattr(cfg, "dataset") else cfg
     crop = ds_cfg.crop_size or (
         ds_cfg.crop[0] if isinstance(ds_cfg.crop, (list, tuple)) else 128)
     seq_len = ds_cfg.seq_len or ds_cfg.n_frames
-    paths = sorted(glob.glob(os.path.join(ds_cfg.data_dir, "*.tfrecord")))
-    if paths and not ds_cfg.synthetic:
-        dataset = WaymoClipDataset(
-            paths, seg_cache_dir=ds_cfg.seg_cache_dir, seq_len=seq_len,
-            slide=ds_cfg.slide, crop_size=crop,
-            strict_masks=ds_cfg.strict_masks)
-    else:
+    dtype = getattr(ds_cfg, "dataset_type", "waymo")
+
+    dataset = None
+    if not ds_cfg.synthetic:
+        if dtype.startswith("vimeo"):
+            from .vimeo import Vimeo90kDataset
+            if os.path.isdir(os.path.join(ds_cfg.data_dir, "sequences")):
+                dataset = Vimeo90kDataset(ds_cfg.data_dir,
+                                          seq_len=min(seq_len, 7),
+                                          crop_size=crop)
+        else:
+            paths = sorted(glob.glob(os.path.join(ds_cfg.data_dir,
+                                                  "*.tfrecord")))
+            if paths:
+                dataset = WaymoClipDataset(
+                    paths, seg_cache_dir=ds_cfg.seg_cache_dir,
+                    seq_len=seq_len, slide=ds_cfg.slide, crop_size=crop,
+                    strict_masks=ds_cfg.strict_masks)
+    if dataset is None:
         dataset = SyntheticClipDataset(
             num_clips=ds_cfg.synthetic_num_clips, seq_len=seq_len,
             crop_size=crop)

@@ -13,10 +13,9 @@ Wire format (all little-endian adaptive uints unless noted):
 
 from __future__ import annotations
 
-import io
 import struct
 from dataclasses import dataclass
-from typing import BinaryIO, Dict, List, Optional, Tuple
+from typing import BinaryIO, Dict, Optional, Tuple
 
 NAL_SPS, NAL_I, NAL_P = 0, 1, 2
 

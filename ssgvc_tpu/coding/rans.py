@@ -19,8 +19,6 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
-
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")

@@ -9,13 +9,11 @@ GOP, P-frames carrying the reference's per-position qp shift
 
 from __future__ import annotations
 
-import io
 from typing import BinaryIO, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.common import get_downsampled_shape
 from .bitstream import BitstreamReader, BitstreamWriter
 from .codec import VideoCodec
 

@@ -15,7 +15,6 @@ shape=2 (MatrixShape.dims=1 packed).
 
 from __future__ import annotations
 
-import struct
 import zlib
 from typing import Optional, Tuple
 

@@ -7,7 +7,7 @@ is preserved. Operate on (T, H, W, C) float arrays in [0, 1].
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..layers.quant import noise_quant, ste_round
 

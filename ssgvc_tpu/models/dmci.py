@@ -15,7 +15,7 @@ Differences from the reference implementation:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

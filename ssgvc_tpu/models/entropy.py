@@ -17,8 +17,6 @@ Entropy math always runs in fp32 even when the conv stacks are bf16.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,12 +18,9 @@ that runs in a separate tiny jit only when a frame is actually emitted.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from ..config import DMCConfig
 from ..ops.pixel import pixel_shuffle, pixel_unshuffle
 from .dmc import DMC
 

@@ -12,9 +12,8 @@ referenced by its README but absent) and the DCVC-style eval loop:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,7 +20,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def save_checkpoint(path: str, state, step: Optional[int] = None):

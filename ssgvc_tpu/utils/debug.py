@@ -19,7 +19,7 @@ The torch version hooks conv modules; in JAX the equivalents are:
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

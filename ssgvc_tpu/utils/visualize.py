@@ -9,7 +9,7 @@ trainer_seg_video_model.py:1353-1369) written as PNG files.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

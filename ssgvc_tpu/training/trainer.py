@@ -282,28 +282,38 @@ class Trainer:
 
     # ------------------------------------------------------------ jit steps
 
-    def train_step(self, state: TrainState, batch: Dict, qp: jnp.ndarray,
-                   rng: jax.Array):
-        def loss_fn(params_p):
-            return self.gop_loss(params_p, state.params_i, batch["frames"],
+    def _train_step_mutable(self, params_p, opt_state, step, alm_mu,
+                            alm_h_accum, alm_h_count, params_i, batch,
+                            qp: jnp.ndarray, rng: jax.Array):
+        """Inner step over the MUTABLE state fields only, so donation never
+        touches the frozen I-model params (which callers may share across
+        trainers)."""
+        def loss_fn(p):
+            return self.gop_loss(p, params_i, batch["frames"],
                                  batch["masks"], qp, rng, train=True,
                                  eval_mode=False)
 
-        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params_p)
-        updates, opt_state = self.tx.update(grads, state.opt_state,
-                                            state.params_p)
-        params_p = optax.apply_updates(state.params_p, updates)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(params_p)
+        updates, opt_state = self.tx.update(grads, opt_state, params_p)
+        params_p = optax.apply_updates(params_p, updates)
 
-        alm_mu, h_accum, h_count = state.alm_mu, state.alm_h_accum, state.alm_h_count
         if self.cfg.constraint_opt:
-            h_accum = h_accum + aux["g_mean"]
-            h_count = h_count + 1.0
-            alm_mu, h_accum, h_count = alm_dual_update(
-                alm_mu, h_accum, h_count, self.cfg.lagr_rho)
+            alm_h_accum = alm_h_accum + aux["g_mean"]
+            alm_h_count = alm_h_count + 1.0
+            alm_mu, alm_h_accum, alm_h_count = alm_dual_update(
+                alm_mu, alm_h_accum, alm_h_count, self.cfg.lagr_rho)
 
-        new_state = TrainState(params_p, state.params_i, opt_state,
-                               state.step + 1, alm_mu, h_accum, h_count)
-        return new_state, aux
+        return (params_p, opt_state, step + 1, alm_mu, alm_h_accum,
+                alm_h_count), aux
+
+    def train_step(self, state: TrainState, batch: Dict, qp: jnp.ndarray,
+                   rng: jax.Array):
+        mut, aux = self._train_step_mutable(
+            state.params_p, state.opt_state, state.step, state.alm_mu,
+            state.alm_h_accum, state.alm_h_count, state.params_i, batch,
+            qp, rng)
+        return TrainState(mut[0], state.params_i, mut[1], mut[2], mut[3],
+                          mut[4], mut[5]), aux
 
     def eval_step(self, state: TrainState, batch: Dict, qp: jnp.ndarray,
                   rng: jax.Array):
@@ -314,7 +324,18 @@ class Trainer:
 
     def jit_train_step(self):
         if self._train_step is None:
-            self._train_step = jax.jit(self.train_step, donate_argnums=(0,))
+            inner = jax.jit(self._train_step_mutable,
+                            donate_argnums=(0, 1, 2, 3, 4, 5))
+
+            def step(state: TrainState, batch, qp, rng):
+                mut, aux = inner(state.params_p, state.opt_state, state.step,
+                                 state.alm_mu, state.alm_h_accum,
+                                 state.alm_h_count, state.params_i, batch,
+                                 qp, rng)
+                return TrainState(mut[0], state.params_i, mut[1], mut[2],
+                                  mut[3], mut[4], mut[5]), aux
+
+            self._train_step = step
         return self._train_step
 
     def jit_eval_step(self):

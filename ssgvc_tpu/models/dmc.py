@@ -387,6 +387,12 @@ class DMC(nn.Module):
         (src/refactor/seg_video_model.py:301-365 and variants).
         """
         c = self.cfg
+        if x.shape[-1] > 3:
+            # reference-style packed input: 4th channel is the mask
+            # (src/refactor/seg_video_model.py:303-308)
+            if mask is None:
+                mask = x[..., 3:4]
+            x = x[..., :3]
         if mask is None:
             mask = jnp.zeros(x.shape[:3] + (1,), x.dtype)
 

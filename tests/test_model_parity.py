@@ -171,3 +171,24 @@ def test_dmci_parity():
         atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(ref["bpp"].numpy(), np.asarray(out["bpp"]),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_dmc_accepts_packed_4ch_input():
+    """Reference-style (B, H, W, 4) input with the mask as channel 4."""
+    rng = np.random.default_rng(21)
+    frame = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (1, 64, 64, 1)) > 0.5).astype(np.float32)
+    cfg = DMCConfig.variant("performance", **TINY)
+    fm = DMC(cfg)
+    dpb = {"frame": jnp.asarray(frame),
+           "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]), jnp.float32)}
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(frame),
+                        jnp.int32(10), dpb, after_i=True,
+                        mask=jnp.asarray(mask), train=False)
+    out_sep = fm.apply(variables, jnp.asarray(frame), jnp.int32(10), dpb,
+                       after_i=True, mask=jnp.asarray(mask), train=False)
+    x4 = jnp.concatenate([jnp.asarray(frame), jnp.asarray(mask)], axis=-1)
+    out_packed = fm.apply(variables, x4, jnp.int32(10), dpb, after_i=True,
+                          mask=None, train=False)
+    np.testing.assert_array_equal(np.asarray(out_sep["dpb"]["frame"]),
+                                  np.asarray(out_packed["dpb"]["frame"]))

@@ -5,14 +5,20 @@ mask SFT, hyper path, 2-pass checkerboard prior, recon, bit estimation) on
 1920x1088 frames in bf16 and reports steady-state frames/s.
 
 The frame loop is a ``lax.scan`` inside ONE jit (the DPB carry never leaves
-the device), which is also how the trainer and the streaming inference API
-run — per-frame host dispatch would otherwise dominate on tunneled setups.
+the device), with ``packed_io``: the whole loop runs in the pixel-unshuffled
+domain (a lossless 8x8 permutation — bit-identical codec math, verified by
+tests/test_model_parity.py::test_packed_io_matches_raw) and the one batched
+ingest permutation IS counted in the timing. 48 frames per call amortize the
+tunnel's fixed dispatch+fetch overhead the way a steady streaming encoder
+would.
 
 Baseline note: the reference publishes no fps numbers (see BASELINE.md);
 DCVC-RT's headline claim is real-time 1080p coding, so we use 30 fps as the
-A100-class real-time bar. vs_baseline = fps / 30.
+A100-class real-time bar and ALSO report ms/frame and model FLOP/s so the
+number can be re-based against any future measured baseline.
+vs_baseline = fps / 30.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,16 +27,20 @@ import time
 import jax
 import jax.numpy as jnp
 
+MODEL_GFLOP_PER_FRAME = 939.1  # XLA cost analysis of the full forward
+V5E_PEAK_TFLOPS = 197.0        # bf16
+
 
 def main():
     from ssgvc_tpu.config import DMCConfig
     from ssgvc_tpu.models.dmc import DMC
+    from ssgvc_tpu.ops.pixel import pixel_unshuffle
 
-    cfg = DMCConfig.variant("performance", dtype="bfloat16")
+    cfg = DMCConfig.variant("performance", dtype="bfloat16", packed_io=True)
     model = DMC(cfg)
 
     b, h, w = 1, 1088, 1920
-    n_frames = 16
+    n_frames = 48
     # unique per-process salt: tunneled runtimes cache (executable, args)
     # results across processes, which would fake the measurement
     key = jax.random.PRNGKey(time.time_ns() % (2**31))
@@ -48,13 +58,24 @@ def main():
 
     # init with tiny shapes (params are shape-independent)
     params = model.init(
-        jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)), qp,
-        {"frame": jnp.zeros((1, 64, 64, 3)),
+        jax.random.PRNGKey(4), pixel_unshuffle(jnp.zeros((1, 64, 64, 3)), 8),
+        qp,
+        {"frame": pixel_unshuffle(jnp.zeros((1, 64, 64, 3)), 8),
          "feature": jnp.zeros((1, 8, 8, cfg.ch_d))},
-        after_i=False, mask=jnp.zeros((1, 64, 64, 1)), train=False)["params"]
+        after_i=False, mask=pixel_unshuffle(jnp.zeros((1, 64, 64, 1)), 8),
+        train=False)["params"]
 
     @jax.jit
     def gop(params, frames, masks, qp, dpb):
+        # one batched ingest permutation into the packed domain (counted)
+        fb = frames.reshape((n_frames * b,) + frames.shape[2:])
+        mb = masks.reshape((n_frames * b,) + masks.shape[2:])
+        frames = pixel_unshuffle(fb, 8).reshape(
+            (n_frames, b, h // 8, w // 8, -1))
+        masks = pixel_unshuffle(mb, 8).reshape(
+            (n_frames, b, h // 8, w // 8, -1))
+        dpb = dict(dpb, frame=pixel_unshuffle(dpb["frame"], 8))
+
         def step(dpb, xs):
             frame, mask = xs
             out = model.apply({"params": params}, frame, qp, dpb,
@@ -80,6 +101,8 @@ def main():
         float(out[0])
         times.append(time.perf_counter() - start)
     fps = n_frames * b / min(times)
+    ms_per_frame = min(times) / (n_frames * b) * 1e3
+    tflops = MODEL_GFLOP_PER_FRAME * 1e9 * fps / 1e12
 
     baseline_fps = 30.0  # A100-class real-time bar; reference publishes no fps
     print(json.dumps({
@@ -87,6 +110,10 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "ms_per_frame": round(ms_per_frame, 3),
+        "model_tflops": round(tflops, 1),
+        "mfu_pct_v5e": round(tflops / V5E_PEAK_TFLOPS * 100, 1),
+        "baseline_note": "30 fps real-time bar; reference publishes no fps",
     }))
 
 

@@ -56,6 +56,14 @@ class DMCConfig:
     # 'old' keeps src/models/video_model.py op-order quirks (encoder 2-block
     # conv2 stack, decoder quant-after-conv, y padded before SFT-free hyper).
     legacy_old: bool = False
+    # packed_io: frames/masks/dpb-frames enter and leave in the PACKED
+    # (pixel-unshuffled, H/8 x W/8 x 192) domain. The 8x8 patching is a
+    # lossless permutation, so the codec math is identical, but the hot loop
+    # sheds ~1.5 ms/frame of 1080p layout copies (profiled): callers
+    # unshuffle once per batch instead of the model (un)shuffling per frame.
+    # Not supported with mask_source='propagated' (its bilinear mask resize
+    # is defined on raw-resolution masks).
+    packed_io: bool = False
 
     @staticmethod
     def variant(name: str, **kw) -> "DMCConfig":
@@ -144,7 +152,6 @@ class TrainConfig:
     build_cache: bool = False
     constraint_opt: bool = False
     mask_train: bool = False
-    mask_fg_weight: float = 4.0
     roi_weight: float = 100.0         # ROI MSE weight (1 + w*mask)
 
     exp_name: str = "video-compression-waymo"
@@ -159,12 +166,14 @@ class TrainConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     compression: CompressionConfig = field(default_factory=CompressionConfig)
 
-    # ALM / constrained-optimization hyperparams
-    wmse_target: float = 1.0e-3
+    # ALM / constrained-optimization hyperparams. The reference also parses
+    # wmse_target / lagr_ema_alpha / mask_fg_weight but only ever reads them
+    # from commented-out code (trainer_seg_video_model.py:943,977,516-528) —
+    # those are intentionally NOT part of this schema (unknown YAML keys are
+    # tolerated by the merge, so reference configs still load).
     lagr_rho: float = 5.0
-    lagr_ema_alpha: float = 0.05
-    lagr_init_lambda: float = 1.0
-    lagr_lambda_max: float = 1e3
+    lagr_init_lambda: float = 1.0   # initial ALM dual variable mu
+    lagr_lambda_max: float = 1e3    # clamp for mu in the dual ascent
     alm_penalty_scale: float = 0.3
 
 

@@ -24,7 +24,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pixel import pixel_shuffle
+from ..ops.pixel import patch_down_conv, patch_up_conv, pixel_shuffle
 
 Dtype = Any
 
@@ -64,24 +64,111 @@ def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
     )
 
 
+class PatchDownConv(nn.Module):
+    """Fused pixel_unshuffle(r) + 1x1 conv (ops.pixel.patch_down_conv).
+
+    Parameters are stored in the UNFUSED layout — kernel (1, 1, C*r*r, O),
+    bias (O,) — exactly what a plain ``conv(out_ch, 1)`` on the unshuffled
+    tensor would store, so checkpoints are interchangeable."""
+
+    out_ch: int
+    r: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1] * self.r * self.r
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.out_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                          jnp.float32)
+        dt = self.dtype or x.dtype
+        return patch_down_conv(x.astype(dt), kernel.astype(dt),
+                               bias.astype(dt), self.r)
+
+
+class PatchUpConv(nn.Module):
+    """Fused 1x1 conv + pixel_shuffle(r) (ops.pixel.patch_up_conv); stores
+    the unfused kernel (1, 1, I, C*r*r) / bias (C*r*r,) layout."""
+
+    out_ch: int          # channels AFTER the shuffle
+    r: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        crr = self.out_ch * self.r * self.r
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], crr), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (crr,), jnp.float32)
+        dt = self.dtype or x.dtype
+        return patch_up_conv(x.astype(dt), kernel.astype(dt),
+                             bias.astype(dt), self.r)
+
+
+class Concat1x1(nn.Module):
+    """1x1 conv over an IMPLICIT channel concat: ``conv(concat(parts))`` as a
+    sum of per-part matmuls — same math, same parameter layout (one kernel
+    (1, 1, sum_ch, O) + bias, as nn.Conv would store), but the wide concat
+    tensor is never materialized (its relayout copies showed up at ~0.2
+    ms/frame in the 1080p trace)."""
+
+    out_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        total = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, total, self.out_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                          jnp.float32)
+        dt = self.dtype or parts[0].dtype
+        out = None
+        off = 0
+        for p in parts:
+            k = kernel[0, 0, off:off + p.shape[-1]].astype(dt)
+            term = jnp.einsum("bhwc,co->bhwo", p.astype(dt), k)
+            out = term if out is None else out + term
+            off += p.shape[-1]
+        return out + bias.astype(dt)
+
+
 class DepthConvBlock(nn.Module):
     """Depthwise-conv residual block + gated FFN (src/layers/layers.py:43-79).
 
     forward: x -> [adaptor] -> (dc(x) + x) -> (ffn(.) + .) [-> + x if shortcut]
              [-> * quant_step]
+
+    ``x`` may be a tuple/list of tensors: the adaptor then acts as
+    ``conv1x1(concat(x))`` via :class:`Concat1x1` (identical math + params,
+    no materialized concat).
     """
 
     out_ch: int
     shortcut: bool = False
     force_adaptor: bool = False
+    patch_in: int = 0    # >0: input is a RAW frame; the adaptor fuses
+    #                      pixel_unshuffle(patch_in) + 1x1 (same param layout)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, quant_step: Optional[jnp.ndarray] = None
+        self, x, quant_step: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        in_ch = x.shape[-1]
-        if in_ch != self.out_ch or self.force_adaptor:
+        if isinstance(x, (tuple, list)):
+            # tuple input == implicit concat; an adaptor exists exactly when
+            # it would for the concatenated tensor (param-layout parity with
+            # torch checkpoints — e.g. plain-variant PriorFusion has NONE)
+            if sum(p.shape[-1] for p in x) != self.out_ch or self.force_adaptor:
+                x = Concat1x1(self.out_ch, name="adaptor",
+                              dtype=self.dtype)(x)
+            else:
+                x = jnp.concatenate(x, axis=-1)
+        elif self.patch_in:
+            x = PatchDownConv(self.out_ch, self.patch_in, name="adaptor",
+                              dtype=self.dtype)(x)
+        elif x.shape[-1] != self.out_ch or self.force_adaptor:
             x = conv(self.out_ch, 1, name="adaptor", dtype=self.dtype)(x)
 
         # ReZero-style: the LAST conv of each residual branch starts at zero,

@@ -145,8 +145,9 @@ def compress_prior_2x(y: jnp.ndarray, common_params: jnp.ndarray,
     rng0, rng1 = jax.random.split(rng) if rng is not None else (None, None)
 
     p0 = process_with_mask(y, scales, means, mask_0, rng0, train)
-    cat_params = jnp.concatenate([p0.y_hat, common_params], axis=-1)
-    scales1, means1 = jnp.split(spatial_prior(cat_params), 2, axis=-1)
+    # tuple input: the prior's first conv consumes the concat implicitly
+    scales1, means1 = jnp.split(spatial_prior((p0.y_hat, common_params)),
+                                2, axis=-1)
     p1 = process_with_mask(y, scales1, means1, mask_1, rng1, train)
 
     y_hat = (p0.y_hat + p1.y_hat) * q_dec
@@ -189,7 +190,7 @@ def compress_prior_4x(y: jnp.ndarray, common_params: jnp.ndarray,
     passes.append(p)
     y_hat_so_far = p.y_hat
     for i, adaptor in enumerate(adaptors):
-        params_i = jnp.concatenate([y_hat_so_far, reduced], axis=-1)
+        params_i = (y_hat_so_far, reduced)
         scales_i, means_i = jnp.split(spatial_prior(adaptor(params_i)), 2, axis=-1)
         p = process_with_mask(y, scales_i, means_i, masks[i + 1], rngs[i + 1], train)
         passes.append(p)

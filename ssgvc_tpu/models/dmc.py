@@ -34,6 +34,8 @@ from flax import linen as nn
 from ..config import DMCConfig
 from ..layers.blocks import (
     DepthConvBlock,
+    PatchDownConv,
+    PatchUpConv,
     ResidualBlockUpsample,
     ResidualBlockWithStride2,
     SubpelConv2x,
@@ -41,7 +43,6 @@ from ..layers.blocks import (
     wsilu,
 )
 from ..layers.quant import noise_quant, ste_round
-from ..ops.pixel import pixel_shuffle, pixel_unshuffle
 from .common import bpp_from_bits, compress_prior_2x, pad_for_y
 from .entropy import BitEstimator, gaussian_bits, gaussian_bits_cdf
 
@@ -85,15 +86,20 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, ctx, quant_step):
         c = self.cfg
-        f = pixel_unshuffle(x, c.patch_size)
-        f = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(f)
-        f = jnp.concatenate([f, ctx], axis=-1)
+        if c.packed_io:
+            # x arrives pre-unshuffled (B, H/8, W/8, 192): plain 1x1
+            f = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(x)
+        else:
+            # pixel_unshuffle(8) + 1x1 in one op (same conv1 params)
+            f = PatchDownConv(c.ch_d, c.patch_size, name="conv1",
+                              dtype=self.dtype)(x)
+        # (f, ctx) tuple: implicit concat through the first block's adaptor
         if c.legacy_old:
-            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)((f, ctx))
             f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
             f = DepthConvBlock(c.ch_d, name="conv3", dtype=self.dtype)(f)
         else:
-            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)((f, ctx))
             f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
             f = DepthConvBlock(c.ch_d, name="conv2_2", dtype=self.dtype)(f)
         f = f * quant_step
@@ -113,15 +119,13 @@ class Decoder(nn.Module):
         c = self.cfg
         f = SubpelConv2x(c.ch_d, 3, padding=1, name="up", dtype=self.dtype)(x)
         if c.legacy_old:
-            f = jnp.concatenate([f, ctx], axis=-1)
-            f = DepthConvBlock(c.ch_d, name="conv1_0", dtype=self.dtype)(f)
+            f = DepthConvBlock(c.ch_d, name="conv1_0", dtype=self.dtype)((f, ctx))
             f = DepthConvBlock(c.ch_d, name="conv1_1", dtype=self.dtype)(f)
             f = DepthConvBlock(c.ch_d, name="conv1_2", dtype=self.dtype)(f)
             f = conv(c.ch_d, 1, name="conv2", dtype=self.dtype)(f)
             return f * quant_step
         f = f * quant_step
-        f = jnp.concatenate([f, ctx], axis=-1)
-        f = DepthConvBlock(c.ch_d, name="conv_0", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_d, name="conv_0", dtype=self.dtype)((f, ctx))
         f = DepthConvBlock(c.ch_d, name="conv_1", dtype=self.dtype)(f)
         f = DepthConvBlock(c.ch_d, name="conv_2", dtype=self.dtype)(f)
         return conv(c.ch_d, 1, name="proj", dtype=self.dtype)(f)
@@ -142,8 +146,15 @@ class ReconGeneration(nn.Module):
         f = DepthConvBlock(c.ch_recon, name="conv_2", dtype=self.dtype)(f)
         f = DepthConvBlock(c.ch_recon, name="conv_3", dtype=self.dtype)(f)
         f = f * quant_step
-        f = conv(c.src, 1, name="head", dtype=self.dtype)(f)
-        return jnp.clip(pixel_shuffle(f, c.patch_size), 0.0, 1.0)
+        if c.packed_io:
+            # emit the PACKED frame (B, H/8, W/8, 192); clip commutes with
+            # the (skipped) channel->pixel permutation
+            f = conv(c.src, 1, name="head", dtype=self.dtype)(f)
+            return jnp.clip(f, 0.0, 1.0)
+        # 1x1 head + pixel_shuffle(8) in one op (same head params)
+        f = PatchUpConv(c.src // (c.patch_size ** 2), c.patch_size,
+                        name="head", dtype=self.dtype)(f)
+        return jnp.clip(f, 0.0, 1.0)
 
 
 class HyperEncoder(nn.Module):
@@ -216,8 +227,11 @@ class SFT(nn.Module):
     @nn.compact
     def __call__(self, mask, q_sft):
         c = self.cfg
-        x = pixel_unshuffle(mask, c.patch_size)
-        x = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(x)
+        if c.packed_io:
+            x = conv(c.ch_d, 1, name="conv1", dtype=self.dtype)(mask)
+        else:
+            x = PatchDownConv(c.ch_d, c.patch_size, name="conv1",
+                              dtype=self.dtype)(mask)
         x = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)(x)
         x = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(x)
         x = DepthConvBlock(c.ch_d, name="conv2_2", dtype=self.dtype)(x)
@@ -284,7 +298,13 @@ class DMC(nn.Module):
         c = self.cfg
         dt = self.dtype
         qp_total = c.qp_num + c.extra_qp
-        self.feature_adaptor_i = DepthConvBlock(c.ch_d, dtype=dt)
+        if c.packed_io and c.mask_source == "propagated":
+            raise ValueError("packed_io is incompatible with mask_prop "
+                             "(bilinear mask resize needs raw resolution)")
+        # adaptor absorbs the frame's pixel_unshuffle(8): takes the RAW frame
+        # (or, with packed_io, the already-unshuffled one — same params)
+        self.feature_adaptor_i = DepthConvBlock(
+            c.ch_d, patch_in=0 if c.packed_io else c.patch_size, dtype=dt)
         self.feature_adaptor_p = conv(c.ch_d, 1, dtype=dt)
         self.feature_extractor = FeatureExtractor(c, dtype=dt)
         self.encoder = Encoder(c, dtype=dt)
@@ -330,9 +350,7 @@ class DMC(nn.Module):
         the rest of the network, and in the GOP scan we keep it static per
         step when possible. dpb carries both 'frame' and 'feature'.
         """
-        c = self.cfg
-        feat_i = lambda: self.feature_adaptor_i(
-            pixel_unshuffle(dpb["frame"], c.patch_size))
+        feat_i = lambda: self.feature_adaptor_i(dpb["frame"])
         feat_p = lambda: self.feature_adaptor_p(dpb["feature"])
         if isinstance(after_i, bool):
             return feat_i() if after_i else feat_p()
@@ -343,7 +361,7 @@ class DMC(nn.Module):
         temporal = self.temporal_prior_encoder(ctx_t)
         h, w = temporal.shape[1], temporal.shape[2]
         hierarchical = hierarchical[:, :h, :w, :]
-        return self.y_prior_fusion(jnp.concatenate([hierarchical, temporal], axis=-1))
+        return self.y_prior_fusion((hierarchical, temporal))
 
     def _mask_to_latent_res(self, mask, y):
         """Average-pool the mask to y's spatial resolution (the reference's
@@ -362,6 +380,10 @@ class DMC(nn.Module):
             # fast/mask_prop: pad y, FiLM with the (pooled, zero-padded) mask
             # (src/refactor/seg_video_model_fast.py:287-325)
             y_pad = pad_for_y(y)
+            if c.packed_io:
+                # channel-mean of the packed mask == 8x8 block mean; the
+                # remaining spatial pool then matches the raw-domain pooling
+                mask = mask.mean(axis=-1, keepdims=True)
             m = self._mask_to_latent_res(mask, y)
             pad_b = y_pad.shape[1] - y.shape[1]
             pad_r = y_pad.shape[2] - y.shape[2]
@@ -387,19 +409,29 @@ class DMC(nn.Module):
         (src/refactor/seg_video_model.py:301-365 and variants).
         """
         c = self.cfg
-        if x.shape[-1] > 3:
-            # reference-style packed input: 4th channel is the mask
-            # (src/refactor/seg_video_model.py:303-308)
+        if c.packed_io:
+            # x: (B, H/8, W/8, 192) pre-unshuffled; mask likewise (.., 64)
             if mask is None:
-                mask = x[..., 3:4]
-            x = x[..., :3]
-        if mask is None:
-            mask = jnp.zeros(x.shape[:3] + (1,), x.dtype)
+                mask = jnp.zeros(x.shape[:3] + (c.patch_size ** 2,), x.dtype)
+        else:
+            if x.shape[-1] > 3:
+                # reference-style packed input: 4th channel is the mask
+                # (src/refactor/seg_video_model.py:303-308)
+                if mask is None:
+                    mask = x[..., 3:4]
+                x = x[..., :3]
+            if mask is None:
+                mask = jnp.zeros(x.shape[:3] + (1,), x.dtype)
 
-        q_encoder = jnp.take(self.q_encoder, qp, axis=0).reshape(1, 1, 1, -1)
-        q_decoder = jnp.take(self.q_decoder, qp, axis=0).reshape(1, 1, 1, -1)
-        q_feature = jnp.take(self.q_feature, qp, axis=0).reshape(1, 1, 1, -1)
-        q_recon = jnp.take(self.q_recon, qp, axis=0).reshape(1, 1, 1, -1)
+        # cast the gathered per-QP vectors to the compute dtype up front —
+        # otherwise each `* q` upcasts a full (H/8, W/8, C) activation to f32
+        # (a 33 MB materialization per site at 1080p, seen in traces)
+        qdt = self.dtype or self.q_encoder.dtype
+        take = lambda t: jnp.take(t, qp, axis=0).reshape(1, 1, 1, -1).astype(qdt)
+        q_encoder = take(self.q_encoder)
+        q_decoder = take(self.q_decoder)
+        q_feature = take(self.q_feature)
+        q_recon = take(self.q_recon)
 
         feature = self.apply_feature_adaptor(dpb, after_i)
         ctx, ctx_t = self.feature_extractor(feature, q_feature)
@@ -418,7 +450,7 @@ class DMC(nn.Module):
             mask_pred = pred_logits
 
         if c.mask_mode == "sft_latent":
-            q_sft = jnp.take(self.q_sft, qp, axis=0).reshape(1, 1, 1, -1)
+            q_sft = take(self.q_sft)
             gamma, beta = self.mask_sft(current_mask, q_sft)
             y = y * (1.0 + gamma) + beta
 
@@ -436,6 +468,9 @@ class DMC(nn.Module):
         x_hat = self.recon_generation_net(feature_out, q_recon)
 
         pixel_num = x.shape[1] * x.shape[2]
+        if c.packed_io:
+            pixel_num *= c.patch_size ** 2  # x is at 1/8 res; bpp is per
+            #                                 SOURCE pixel
         if c.legacy_old:
             bits_y = gaussian_bits_cdf(prior.y_q_hat_write, prior.scales_hat)
         else:

@@ -29,7 +29,7 @@ from ..layers.blocks import (
     conv,
 )
 from ..layers.quant import noise_quant, ste_round
-from ..ops.pixel import pixel_shuffle, pixel_unshuffle
+from ..ops.pixel import pixel_shuffle
 from .common import bpp_from_bits, compress_prior_4x, pad_for_y
 from .entropy import BitEstimator, gaussian_bits_cdf
 
@@ -44,8 +44,9 @@ class IntraEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, quant_step: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        out = pixel_unshuffle(x, c.patch_size)
-        out = DepthConvBlock(c.enc_dec, name="enc_1", dtype=self.dtype)(out)
+        # enc_1's adaptor fuses the pixel_unshuffle(8) (same param layout)
+        out = DepthConvBlock(c.enc_dec, name="enc_1", patch_in=c.patch_size,
+                             dtype=self.dtype)(x)
         out = out * quant_step
         for i in range(6):
             out = DepthConvBlock(c.enc_dec, name=f"enc_2_{i}", dtype=self.dtype)(out)
@@ -124,8 +125,11 @@ class DMCI(nn.Module):
 
     def transform_analysis(self, x, qp):
         """Source frame -> (y, q_dec) — shared by forward and compress."""
-        q_enc = jnp.take(self.q_scale_enc, qp, axis=0).reshape(1, 1, 1, -1)
-        q_dec = jnp.take(self.q_scale_dec, qp, axis=0).reshape(1, 1, 1, -1)
+        qdt = self.dtype or self.q_scale_enc.dtype
+        q_enc = (jnp.take(self.q_scale_enc, qp, axis=0)
+                 .reshape(1, 1, 1, -1).astype(qdt))
+        q_dec = (jnp.take(self.q_scale_dec, qp, axis=0)
+                 .reshape(1, 1, 1, -1).astype(qdt))
         return self.enc(x, q_enc), q_dec
 
     def prior_params(self, z_hat, y_shape):

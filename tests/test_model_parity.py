@@ -17,9 +17,11 @@ from ssgvc_tpu.utils.torch_import import align_params, convert_state_dict
 
 from conftest import add_reference_to_path, reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference oracle not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference oracle not mounted"),
+]
 
 add_reference_to_path()
 torch = pytest.importorskip("torch")
@@ -192,3 +194,46 @@ def test_dmc_accepts_packed_4ch_input():
                           mask=None, train=False)
     np.testing.assert_array_equal(np.asarray(out_sep["dpb"]["frame"]),
                                   np.asarray(out_packed["dpb"]["frame"]))
+
+
+@pytest.mark.parametrize("variant", ["performance", "fast"])
+def test_packed_io_matches_raw(variant):
+    """packed_io=True on pre-unshuffled inputs produces the SAME outputs as
+    the raw-domain model with the same params (the 8x8 patching is a
+    lossless permutation; clip/MSE/conv1 commute with it)."""
+    from ssgvc_tpu.ops.pixel import pixel_shuffle, pixel_unshuffle
+
+    tiny = dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+    raw_model = DMC(DMCConfig.variant(variant, **tiny))
+    packed_model = DMC(DMCConfig.variant(variant, packed_io=True, **tiny))
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(0, 1, (1, 64, 64, 1)) > 0.6)
+                       .astype(np.float32))
+    dpb = {"frame": jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)),
+                                jnp.float32),
+           "feature": jnp.asarray(rng.normal(size=(1, 8, 8, 16)) * 0.1,
+                                  jnp.float32)}
+    # traced after_i so BOTH feature adaptors get params at init
+    params = raw_model.init(jax.random.PRNGKey(0), x, jnp.int32(20), dpb,
+                            after_i=jnp.bool_(True), mask=mask,
+                            train=False)["params"]
+
+    for after_i in (True, False):
+        out_raw = raw_model.apply({"params": params}, x, jnp.int32(20), dpb,
+                                  after_i=after_i, mask=mask, train=False)
+        dpb_p = {"frame": pixel_unshuffle(dpb["frame"], 8),
+                 "feature": dpb["feature"]}
+        out_packed = packed_model.apply(
+            {"params": params}, pixel_unshuffle(x, 8), jnp.int32(20), dpb_p,
+            after_i=after_i, mask=pixel_unshuffle(mask, 8), train=False)
+
+        np.testing.assert_allclose(
+            np.asarray(pixel_shuffle(out_packed["dpb"]["frame"], 8)),
+            np.asarray(out_raw["dpb"]["frame"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_packed["dpb"]["feature"]),
+            np.asarray(out_raw["dpb"]["feature"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_packed["bpp"]),
+                                   np.asarray(out_raw["bpp"]), rtol=1e-5)

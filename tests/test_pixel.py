@@ -29,3 +29,31 @@ def test_torch_channel_order(r):
     ref_s = F.pixel_shuffle(torch.from_numpy(ref), r).numpy()
     ours_s = pixel_shuffle(ours, r)
     np.testing.assert_allclose(np.asarray(ours_s).transpose(0, 3, 1, 2), ref_s, atol=0)
+
+
+def test_patch_down_conv_matches_unshuffle_plus_1x1():
+    import numpy as np
+    from ssgvc_tpu.ops.pixel import patch_down_conv, pixel_unshuffle
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 3)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, 3 * 64, 7)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
+
+    ref = jnp.einsum("bhwc,co->bhwo", pixel_unshuffle(x, 8), k[0, 0]) + b
+    out = patch_down_conv(x, k, b, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_patch_up_conv_matches_1x1_plus_shuffle():
+    import numpy as np
+    from ssgvc_tpu.ops.pixel import patch_up_conv, pixel_shuffle
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 3, 5, 11)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, 11, 3 * 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(3 * 64,)), jnp.float32)
+
+    ref = pixel_shuffle(jnp.einsum("bhwc,co->bhwo", x, k[0, 0]) + b, 8)
+    out = patch_up_conv(x, k, b, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -13,15 +13,55 @@ also exposed (halo exchanges handled by XLA's conv partitioner via pjit).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_distributed_initialized = False
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host (DCN) support: call ``jax.distributed.initialize`` when a
+    multi-process launch is detected, so ``jax.devices()`` spans all hosts
+    and the data mesh rides ICI within a slice / DCN across slices.
+
+    The reference's counterpart is multi-node Lightning DDP under SLURM
+    (/root/reference/lrz.md). Triggers: explicit SSGVC_DIST=1, or the
+    standard coordinator env (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES >
+    1, also reading SLURM_NTASKS/SLURM_PROCID under SLURM). On TPU pods the
+    runtime autodetects everything, so initialize() needs no arguments.
+    Idempotent; no-op for single-process runs.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    want = os.environ.get("SSGVC_DIST") == "1"
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = int(os.environ.get("JAX_NUM_PROCESSES",
+                               os.environ.get("SLURM_NTASKS", "1")))
+    if not want and not (coord and nproc > 1):
+        return False
+    kwargs = {}
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=nproc,
+            process_id=int(os.environ.get("JAX_PROCESS_ID",
+                                          os.environ.get("SLURM_PROCID", "0"))),
+        )
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
+
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """1-D data mesh over all visible devices (all hosts' devices after
+    ``maybe_init_distributed``). ``n_devices`` truncates for tests."""
+    maybe_init_distributed()
     devices = jax.devices()
     if n_devices is not None and n_devices > 0:
         devices = devices[:n_devices]
@@ -42,8 +82,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Multi-host: each process passes its LOCAL batch shard; the global array
+    is assembled across processes (data-parallel input pipeline semantics,
+    one loader per host like one DataLoader per DDP rank)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -102,11 +102,12 @@ def alm_ineq_term(g: jnp.ndarray, mu: jnp.ndarray, rho: float):
 
 
 def alm_dual_update(mu: jnp.ndarray, h_accum: jnp.ndarray, h_count: jnp.ndarray,
-                    rho: float):
-    """mu <- [mu + rho*mean(h)]_+ and reset accumulators
-    (trainer_seg_video_model.py:685-693)."""
+                    rho: float, mu_max: float = 1e3):
+    """mu <- clip([mu + rho*mean(h)]_+, 0, mu_max) and reset accumulators
+    (trainer_seg_video_model.py:685-693; mu_max from config.lagr_lambda_max,
+    :519)."""
     g_bar = h_accum / jnp.maximum(h_count, 1.0)
-    new_mu = jnp.maximum(mu + rho * g_bar, 0.0)
+    new_mu = jnp.clip(mu + rho * g_bar, 0.0, mu_max)
     keep = h_count > 0
     return (jnp.where(keep, new_mu, mu),
             jnp.where(keep, 0.0, h_accum),

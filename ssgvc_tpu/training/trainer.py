@@ -116,17 +116,40 @@ class Trainer:
                 return optax.lion(lr, weight_decay=weight_decay)
             raise ValueError(f"unknown optimizer {opt!r}")
 
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.multi_transform(
-                {
-                    "backbone": make(lambda s: 0.3 * sched(s), wd * 0.5),
-                    "probe": make(sched, wd),
-                    "aux": make(cfg.optimizer.aux_lr, wd),
-                },
-                self._labels,
-            ),
-        )
+        if cfg.mask_train:
+            # MASK_TRAIN trains ONLY mask_predictor (the reference backprops a
+            # pure BCE loss and steps every optimizer, but only the probe path
+            # carries useful gradient — trainer_seg_video_model.py:1080-1098);
+            # we freeze everything else explicitly via zero updates.
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.multi_transform(
+                    {
+                        "mask_predictor": make(sched, wd),
+                        "frozen": optax.set_to_zero(),
+                    },
+                    self._mask_train_labels,
+                ),
+            )
+        else:
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.multi_transform(
+                    {
+                        "backbone": make(lambda s: 0.3 * sched(s), wd * 0.5),
+                        "probe": make(sched, wd),
+                        "aux": make(cfg.optimizer.aux_lr, wd),
+                    },
+                    self._labels,
+                ),
+            )
+        if cfg.accumulation_steps and cfg.accumulation_steps > 1:
+            # cross-batch gradient accumulation: the optimizers step every
+            # accumulation_steps micro-batches on the mean gradient
+            # (trainer_seg_video_model.py:1100-1148, loss / acc_steps +
+            # boundary step), so effective batch = batch_size * acc_steps
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
+        self.tx = tx
         self._train_step = None
         self._eval_step = None
 
@@ -137,6 +160,16 @@ class Trainer:
         from flax.traverse_util import flatten_dict, unflatten_dict
         flat = flatten_dict(params)
         return unflatten_dict({k: param_label(k) for k in flat})
+
+    @staticmethod
+    def _mask_train_labels(params):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        flat = flatten_dict(params)
+        return unflatten_dict({
+            k: ("mask_predictor"
+                if "mask_predictor" in "/".join(str(p) for p in k)
+                else "frozen")
+            for k in flat})
 
     def example_batch(self, batch_size=2, seq_len=4, hw=(64, 64)):
         h, w = hw
@@ -169,7 +202,7 @@ class Trainer:
         state = TrainState(
             params_p=params_p, params_i=params_i, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
-            alm_mu=jnp.zeros((), jnp.float32),
+            alm_mu=jnp.asarray(self.cfg.lagr_init_lambda, jnp.float32),
             alm_h_accum=jnp.zeros((), jnp.float32),
             alm_h_count=jnp.zeros((), jnp.float32),
         )
@@ -224,9 +257,11 @@ class Trainer:
             if cfg.mask_train and out.get("mask_pred") is not None:
                 bce = jnp.mean(optax.sigmoid_binary_cross_entropy(
                     out["mask_pred"].astype(jnp.float32), gt_mask))
-                # intended accumulation (the reference has `loss =+ bce`,
-                # trainer_seg_video_model.py:1095 — a known bug)
-                loss = loss + bce
+                # MASK_TRAIN: "Just predict the mask and compare with GT" —
+                # the loss is the BCE alone (`loss =+ bce` assigns,
+                # trainer_seg_video_model.py:1080-1098), and the optimizer
+                # freezes everything but mask_predictor (see __init__)
+                loss = bce
 
             metrics = jnp.stack([loss, rd.bpp, rd.bpp_y, rd.bpp_z, rd.mse,
                                  rd.prev_obj, g])
@@ -301,7 +336,8 @@ class Trainer:
             alm_h_accum = alm_h_accum + aux["g_mean"]
             alm_h_count = alm_h_count + 1.0
             alm_mu, alm_h_accum, alm_h_count = alm_dual_update(
-                alm_mu, alm_h_accum, alm_h_count, self.cfg.lagr_rho)
+                alm_mu, alm_h_accum, alm_h_count, self.cfg.lagr_rho,
+                mu_max=self.cfg.lagr_lambda_max)
 
         return (params_p, opt_state, step + 1, alm_mu, alm_h_accum,
                 alm_h_count), aux
@@ -347,9 +383,23 @@ class Trainer:
 
     def fit(self, train_iter, val_iter=None, steps: int = 100,
             val_every: int = 0, log_every: int = 10, seed: int = 0,
-            logger=None, state: Optional[TrainState] = None):
-        """Minimal host-side loop: random qp per batch (0..63), shard batch,
-        step, log. Returns the final state."""
+            logger=None, state: Optional[TrainState] = None,
+            steps_per_epoch: int = 0, ckpt_manager=None,
+            image_log_dir: Optional[str] = None):
+        """Host-side loop: random qp per batch (0..63), shard batch, step,
+        log, validate, checkpoint. Returns the final state.
+
+        * ``steps_per_epoch`` populates the CSV ``epoch`` column; ``qp_avg``
+          is the running mean of sampled QPs since the last log row
+          (reference headers, trainer_seg_video_model.py:850-881 — and its
+          qp_sum never accumulates, :1022, a known bug we implement as
+          intended).
+        * ``ckpt_manager`` (utils.checkpoint.CheckpointManager) receives the
+          val metrics after each validation — top-k on val/loss + last, the
+          Lightning ModelCheckpoint semantics (:1471-1478).
+        * ``image_log_dir`` dumps an original/recon panel at each validation
+          (reference _log_images, :1353-1369).
+        """
         rng = jax.random.PRNGKey(seed)
         if state is None:
             first = next(train_iter)
@@ -361,21 +411,56 @@ class Trainer:
             batches = []
 
         host_rng = np.random.default_rng(seed)
+        qp_sum, qp_cnt = 0.0, 0
         for step in range(steps):
             batch = batches.pop() if batches else next(train_iter)
             batch = shard_batch(self.mesh, batch)
-            qp = jnp.int32(host_rng.integers(0, 64))
+            qp_host = int(host_rng.integers(0, 64))
+            qp_sum += qp_host
+            qp_cnt += 1
+            qp = jnp.int32(qp_host)
             rng, step_rng = jax.random.split(rng)
             state, aux = train_step(state, batch, qp, step_rng)
             if logger is not None and step % log_every == 0:
-                logger.log_train(step, {k: float(v) for k, v in aux.items()})
+                row = {k: float(v) for k, v in aux.items()}
+                row["qp_avg"] = qp_sum / max(qp_cnt, 1)
+                if steps_per_epoch:
+                    row["epoch"] = step // steps_per_epoch
+                qp_sum, qp_cnt = 0.0, 0
+                logger.log_train(step, row)
             if val_iter is not None and val_every and (step + 1) % val_every == 0:
-                self.validate(state, val_iter, logger=logger, step=step,
-                              seed=seed + step)
+                val_metrics = self.validate(
+                    state, val_iter, logger=logger, step=step,
+                    seed=seed + step,
+                    epoch=(step // steps_per_epoch if steps_per_epoch else 0))
+                if ckpt_manager is not None and val_metrics:
+                    ckpt_manager.save(
+                        jax.device_get(state),
+                        {"val/loss": val_metrics.get("loss")}, step)
+                if image_log_dir and val_metrics:
+                    self._log_recon_images(state, batch, image_log_dir, step)
         return state
 
+    def _log_recon_images(self, state: TrainState, batch, out_dir: str,
+                          step: int):
+        """Original/recon panel from the current batch (reference
+        _log_images, trainer_seg_video_model.py:1353-1369)."""
+        try:
+            from ..utils.logging import is_main_process
+            from ..utils.visualize import save_recon_panel
+            if not is_main_process():
+                return
+            frames = batch["frames"][:1]
+            i_out = self.dmci.apply({"params": state.params_i}, frames[:, 0],
+                                    jnp.int32(32), train=False)
+            orig = np.asarray(frames[0, 0], np.float32)
+            recon = np.asarray(i_out["dpb"]["frame"][0], np.float32)
+            save_recon_panel(orig, recon, out_dir, f"recon_step{step}")
+        except Exception as e:  # pragma: no cover - logging is best-effort
+            print(f"[images] recon panel failed: {e}")
+
     def validate(self, state: TrainState, val_iter, n_batches: int = 8,
-                 logger=None, step: int = 0, seed: int = 0):
+                 logger=None, step: int = 0, seed: int = 0, epoch: int = 0):
         eval_step = self.jit_eval_step()
         host_rng = np.random.default_rng(seed)
         rng = jax.random.PRNGKey(seed)
@@ -395,6 +480,7 @@ class Trainer:
             count += 1
         if count:
             agg = {k: v / count for k, v in agg.items()}
+            agg["epoch"] = epoch
             if logger is not None:
                 logger.log_val(step, agg)
         return agg

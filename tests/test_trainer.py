@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles dominate
+
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +13,8 @@ from ssgvc_tpu.training.trainer import Trainer, param_label
 
 
 def tiny_trainer(**cfg_kw):
+    # default accumulation off: most tests assert an immediate update
+    cfg_kw.setdefault("accumulation_steps", 1)
     cfg = TrainConfig(**cfg_kw)
     cfg.precision = "fp32"
     cfg.dataset.batch_size = 8
@@ -82,12 +86,78 @@ def test_constraint_opt_mode():
 
 
 def test_mask_train_mode():
+    """MASK_TRAIN: only mask_predictor params move; loss is the BCE alone
+    (reference trainer_seg_video_model.py:1080-1098)."""
     tr = tiny_trainer(dmc_variant="mask_prop", mask_train=True)
     batch = make_batch(seed=5)
     state = tr.init_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params_p)
     step = tr.jit_train_step()
-    _, aux = step(state, batch, jnp.int32(12), jax.random.PRNGKey(3))
+    state2, aux = step(state, batch, jnp.int32(12), jax.random.PRNGKey(3))
     assert np.isfinite(float(aux["loss"]))
+
+    from flax.traverse_util import flatten_dict
+    deltas = {
+        "/".join(str(p) for p in k): float(np.sum(np.abs(np.asarray(a) - b)))
+        for (k, a), b in zip(sorted(flatten_dict(state2.params_p).items()),
+                             [v for _, v in
+                              sorted(flatten_dict(before).items())])
+    }
+    moved = {k for k, d in deltas.items() if d > 0}
+    assert moved, "mask_predictor params should update"
+    assert all("mask_predictor" in k for k in moved), (
+        f"non-mask_predictor params moved: "
+        f"{[k for k in moved if 'mask_predictor' not in k][:5]}")
+
+
+def test_grad_accumulation_equivalence():
+    """accumulation_steps=2: two micro-steps on batches A, B apply exactly
+    ONE optimizer update on the mean of the two micro-gradients (reference
+    steps on the accumulation boundary with loss/acc_steps,
+    trainer_seg_video_model.py:1100-1148)."""
+    import optax
+
+    batch_a = make_batch(b=2, seed=21)
+    batch_b = make_batch(b=2, seed=22)
+    qp = jnp.int32(25)
+    rng_a, rng_b = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+
+    tr_acc = tiny_trainer(accumulation_steps=2)
+    state = tr_acc.init_state(jax.random.PRNGKey(0), batch_a)
+    params0 = jax.device_get(state.params_p)
+    step = tr_acc.jit_train_step()
+    state, _ = step(state, batch_a, qp, rng_a)
+    # no optimizer step yet: params unchanged after the first micro-batch
+    mid = jax.device_get(state.params_p)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(a, b), params0, mid))
+    state, _ = step(state, batch_b, qp, rng_b)
+    acc_params = jax.device_get(state.params_p)
+
+    # manual: mean of the two micro-gradients through the base (acc=1) tx
+    tr_one = tiny_trainer(accumulation_steps=1)
+
+    def grad_of(batch, rng):
+        def loss_fn(p):
+            return tr_one.gop_loss(p, state.params_i, batch["frames"],
+                                   batch["masks"], qp, rng, train=True,
+                                   eval_mode=False)
+        return jax.grad(loss_fn, has_aux=True)(params0)[0]
+
+    g_mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0,
+                                    grad_of(batch_a, rng_a),
+                                    grad_of(batch_b, rng_b))
+    updates, _ = tr_one.tx.update(g_mean, tr_one.tx.init(params0), params0)
+    expected = optax.apply_updates(params0, updates)
+
+    key = lambda kv: jax.tree_util.keystr(kv[0])
+    for (ka, a), (ke, e) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(acc_params), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(expected), key=key)):
+        # atol 1e-4: MultiSteps accumulates a running mean (a + (b-a)/2) vs
+        # the manual (a+b)/2 — fp32 ordering noise through Adam's rsqrt
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-4,
+                                   err_msg=f"param {ka}")
 
 
 def test_batch_sharded_over_mesh():

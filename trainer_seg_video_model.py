@@ -105,16 +105,27 @@ def main(argv):
         from ssgvc_tpu.utils.checkpoint import load_pretrained
         state = load_pretrained(trainer, cfg)
 
-    val_every = max(1, int(steps_per_epoch * cfg.val_check_interval))
+    # Lightning semantics: float <= 1.0 -> fraction of an epoch,
+    # int > 1 -> every N steps (trainer_seg_video_model.py:1498)
+    vci = cfg.val_check_interval
+    val_every = int(vci) if vci > 1 else max(1, int(steps_per_epoch * vci))
+
+    from ssgvc_tpu.utils.checkpoint import CheckpointManager, save_checkpoint
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    ckpt_manager = CheckpointManager(ckpt_dir, monitor="val/loss",
+                                     top_k=cfg.save_top_k)
     state = trainer.fit(dm.train_iter(), dm.val_iter(loop=True),
                         steps=total_iters, val_every=val_every,
                         log_every=cfg.log_interval, seed=cfg.seed,
-                        logger=logger, state=state)
+                        logger=logger, state=state,
+                        steps_per_epoch=steps_per_epoch,
+                        ckpt_manager=ckpt_manager,
+                        image_log_dir=os.path.join(log_dir, "images"))
 
-    from ssgvc_tpu.utils.checkpoint import save_checkpoint
-    ckpt_path = os.path.join(log_dir, "checkpoints", "last")
+    ckpt_path = os.path.join(ckpt_dir, "last")
     save_checkpoint(ckpt_path, state)
-    print(f"[done] checkpoint at {ckpt_path}")
+    print(f"[done] checkpoint at {ckpt_path} "
+          f"(best: {ckpt_manager.best_path})")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,110 @@
+"""REAL-bitstream 1080p benchmark: encode + decode fps through the full
+codec (jitted stages + host rANS), one TPU chip.
+
+Measures the 'performance' DMC variant end-to-end: analysis transforms on the
+TPU, two checkerboard symbol round-trips per P-frame, C++ rANS on the host
+(threaded two-stream decode when ec_part=1), bit-exact decoder verification.
+
+    python experiments/bench_coded.py [n_frames] [--ec-part] [--skip 0.12]
+
+Prints per-frame enc/dec latency and fps, plus stream sizes.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    n_frames = int(args[0]) if args and not args[0].startswith("-") else 9
+    ec_part = 1 if "--ec-part" in args else 0
+    skip = float(args[args.index("--skip") + 1]) if "--skip" in args else 0.0
+
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig
+    from ssgvc_tpu.models.dmc import DMC
+    from ssgvc_tpu.models.dmci import DMCI
+    from ssgvc_tpu.coding.codec import VideoCodec
+
+    h, w = 1088, 1920
+    dmci = DMCI(DMCIConfig())
+    dmc = DMC(DMCConfig.variant("performance"))
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, dmc.cfg.ch_d),
+                                              jnp.float32)}
+    t0 = time.perf_counter()
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+    print(f"[init] params in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    codec = VideoCodec(dmci, pi, dmc, pp, ec_part=ec_part, skip_thres=skip)
+    print(f"[init] CDF tables in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rngn = np.random.default_rng(1)
+    base = rngn.uniform(0.25, 0.75, (1, h, w, 3)).astype(np.float32)
+    frames = [jnp.asarray(np.clip(
+        base + 0.02 * rngn.standard_normal((1, h, w, 3)).astype(np.float32),
+        0, 1)) for _ in range(n_frames)]
+    mask = jnp.asarray(
+        (rngn.uniform(0, 1, (1, h, w, 1)) > 0.8).astype(np.float32))
+    qp = 32
+
+    # ---- encode (first P-frame compiles; steady state measured after) ----
+    feat0 = jnp.zeros((1, h // 8, w // 8, dmc.cfg.ch_d), jnp.float32)
+    enc_i = codec.dmci_compress(frames[0], qp)
+    dpb = {"frame": enc_i["x_hat"], "feature": feat0}
+    i_bits = len(enc_i["bit_stream"])
+
+    streams, enc_times, recons = [], [], []
+    for t in range(1, n_frames):
+        out = codec.dmc_compress(frames[t], qp, dpb, after_i=(t == 1),
+                                 mask=mask)
+        streams.append(out["bit_stream"])
+        enc_times.append(codec.enc_time)
+        recons.append(np.asarray(out["x_hat"]))
+        dpb = out["dpb"]
+        print(f"[enc] frame {t}: {codec.enc_time * 1e3:7.1f} ms  "
+              f"{len(out['bit_stream'])} bytes", flush=True)
+
+    # ---- decode ----
+    dec_i = codec.dmci_decompress(enc_i["bit_stream"], h, w, qp)
+    dpb = {"frame": dec_i["x_hat"], "feature": feat0}
+    dec_times = []
+    exact = True
+    for t in range(1, n_frames):
+        out = codec.dmc_decompress(streams[t - 1], h, w, qp, dpb,
+                                   after_i=(t == 1))
+        dec_times.append(codec.dec_time)
+        exact &= bool(np.array_equal(np.asarray(out["x_hat"]),
+                                     recons[t - 1]))
+        dpb = out["dpb"]
+        print(f"[dec] frame {t}: {codec.dec_time * 1e3:7.1f} ms", flush=True)
+
+    # steady state: skip the first (compiling) P-frame
+    ss_enc = enc_times[2:] or enc_times
+    ss_dec = dec_times[2:] or dec_times
+    enc_ms = float(np.median(ss_enc)) * 1e3
+    dec_ms = float(np.median(ss_dec)) * 1e3
+    p_bits = [len(s) for s in streams]
+    print(f"\nconfig: ec_part={ec_part} skip_thres={skip}")
+    print(f"1080p REAL coded path ('performance', {n_frames - 1} P-frames):")
+    print(f"  encode: {enc_ms:7.1f} ms/frame  ({1e3 / enc_ms:6.1f} fps)")
+    print(f"  decode: {dec_ms:7.1f} ms/frame  ({1e3 / dec_ms:6.1f} fps)")
+    print(f"  I-frame {i_bits}B; P-frames median {int(np.median(p_bits))}B "
+          f"({np.median(p_bits) * 8 / (h * w):.4f} bpp)")
+    print(f"  decoder bit-exact vs encoder recon: {exact}")
+
+
+if __name__ == "__main__":
+    main()

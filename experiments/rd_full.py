@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Full-scale RD experiment: mid-profile codec, long training budget,
+QP-monotone RD curves, matched-rate ROI comparison (BD-rate), MS-SSIM at
+192 px, and real-bitstream verification.
+
+Addresses the round-1 verdict's "RD evidence is toy-scale": variable-rate
+tables get a real training budget, the mask-SFT ('performance') variant is
+compared against 'plain' at MATCHED RATE via BD-rate on ROI PSNR (the
+reference's headline claim is +1-1.5 dB ROI PSNR at similar BPP,
+/root/reference/README.md:7), and coded streams are checked against the
+differentiable bpp estimates.
+
+    python experiments/rd_full.py [steps] [--budget-min 90]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+EVAL_QPS = [8, 20, 32, 44, 56]
+MID_DMC = dict(ch_d=64, ch_y=32, ch_z=32, ch_recon=96)
+MID_DMCI = dict(enc_dec=96, N=64, z_channel=32)
+
+
+def sample_qp(host_rng) -> int:
+    """70% near the eval QPs (so their table rows get dense updates), 30%
+    uniform (so every row trains)."""
+    if host_rng.uniform() < 0.7:
+        return int(np.clip(host_rng.choice(EVAL_QPS) + host_rng.integers(-3, 4),
+                           0, 63))
+    return int(host_rng.integers(0, 64))
+
+
+def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17):
+    import optax
+    from ssgvc_tpu.config import DMCIConfig
+    from ssgvc_tpu.models.dmci import DMCI
+    from ssgvc_tpu.training.loss import compute_lambda, psnr_from_mse
+
+    model = DMCI(DMCIConfig(**MID_DMCI))
+    it = dm.train_iter()
+    first = next(it)
+    x0 = jnp.asarray(first["frames"][:, 0])
+    rng = jax.random.PRNGKey(seed)
+    params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
+                        train=False)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, qp, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, qp, train=True,
+                              rngs={"noise": rng})
+            mse = jnp.mean((out["dpb"]["frame"].astype(jnp.float32) - x) ** 2)
+            lam = compute_lambda(qp, 50.0, 38400.0)
+            return jnp.mean(out["bpp"]) + lam * mse, (mse, jnp.mean(out["bpp"]))
+
+        grads, (mse, bpp) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, mse, bpp
+
+    host = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        batch = next(it)
+        t = int(host.integers(0, batch["frames"].shape[1]))
+        x = jnp.asarray(batch["frames"][:, t])
+        qp = jnp.int32(sample_qp(host))
+        rng, sub = jax.random.split(rng)
+        params, opt_state, mse, bpp = step(params, opt_state, x, qp, sub)
+        if i % 250 == 0:
+            print(f"[dmci] step {i}: psnr {float(psnr_from_mse(mse)):.2f} "
+                  f"bpp {float(bpp):.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if time.perf_counter() - t0 > budget_s:
+            print(f"[dmci] budget hit at step {i}")
+            break
+    return model, params
+
+
+def train_variant(variant: str, steps: int, dm, budget_s: float,
+                  seed: int = 0, params_i=None):
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+    from ssgvc_tpu.training.trainer import Trainer
+
+    cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
+    cfg.precision = "fp32"
+    cfg.optimizer.base_lr = 7e-4
+    cfg.optimizer.min_lr = 5e-5
+    cfg.roi_weight = 100.0
+    trainer = Trainer(
+        cfg, total_iters=steps,
+        dmc_cfg=DMCConfig.variant(variant, **MID_DMC),
+        dmci_cfg=DMCIConfig(**MID_DMCI),
+    )
+    it = dm.train_iter()
+    first = next(it)
+    batch0 = {k: jnp.asarray(v) for k, v in first.items()}
+    state = trainer.init_state(jax.random.PRNGKey(seed), batch0,
+                               params_i=params_i)
+    step = trainer.jit_train_step()
+    rng = jax.random.PRNGKey(seed + 1)
+    host_rng = np.random.default_rng(seed + 2)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        qp = jnp.int32(sample_qp(host_rng))
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, qp, sub)
+        if i % 250 == 0:
+            print(f"[{variant}] step {i}: loss {float(aux['loss']):.3f} "
+                  f"bpp {float(aux['bpp']):.4f} psnr {float(aux['psnr']):.2f}"
+                  f" ({time.perf_counter() - t0:.0f}s)", flush=True)
+        if time.perf_counter() - t0 > budget_s:
+            print(f"[{variant}] budget hit at step {i}")
+            break
+    print(f"[{variant}] trained in {time.perf_counter() - t0:.1f}s")
+    return trainer, jax.device_get(state)
+
+
+def main():
+    argv = sys.argv[1:]
+    steps = int(argv[0]) if argv and not argv[0].startswith("-") else 12000
+    budget_min = (float(argv[argv.index("--budget-min") + 1])
+                  if "--budget-min" in argv else 120.0)
+    # budget split: ~20% DMCI, ~40% each DMC variant
+    total_s = budget_min * 60.0
+
+    from ssgvc_tpu.data.dataset import ClipDataModule, SyntheticClipDataset
+    from ssgvc_tpu.training.evaluate import (
+        bd_rate,
+        evaluate_gop_coded,
+        evaluate_gop_estimated,
+        rd_sweep,
+    )
+    from ssgvc_tpu.coding.codec import VideoCodec
+
+    train_ds = SyntheticClipDataset(num_clips=512, seq_len=4, crop_size=128,
+                                    seed=3)
+    dm = ClipDataModule(train_ds, batch_size=8, split=(0.95, 0.05, 0.0),
+                        seed=3)
+    # eval clips: 192 px so MS-SSIM is computed (>=176 px window rule)
+    eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4, crop_size=192,
+                                   seed=777)
+    eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
+                  for i in range(6)]
+
+    results = {"steps": steps, "budget_min": budget_min,
+               "model": {"dmc": MID_DMC, "dmci": MID_DMCI}, "variants": {}}
+
+    _, params_i = pretrain_dmci(max(1500, steps // 4), dm, total_s * 0.2)
+
+    trained = {}
+    for variant in ("performance", "plain"):
+        trainer, state = train_variant(variant, steps, dm, total_s * 0.4,
+                                       params_i=params_i)
+        index_map = list(trainer.cfg.compression.index_map)
+        qp_shift = list(trainer.dmc_cfg.qp_shift)
+
+        def eval_qp(qp, _tr=trainer, _st=state):
+            out = []
+            for frames, masks in eval_clips:
+                out.extend(evaluate_gop_estimated(
+                    _tr.dmci, _st.params_i, _tr.dmc, _st.params_p,
+                    frames, masks, qp, index_map, qp_shift))
+            return out
+
+        curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+        results["variants"][variant] = {"estimated_rd": curve}
+        trained[variant] = (trainer, state)
+        print(f"[{variant}] RD: bpp={[round(b,4) for b in curve['bpp']]}")
+        print(f"[{variant}]     psnr={[round(p,2) for p in curve['psnr']]}")
+        print(f"[{variant}]     roi_psnr="
+              f"{[round(p,2) for p in curve['roi_psnr']]}")
+        print(f"[{variant}]     msssim="
+              f"{[round(m,4) for m in curve['msssim']]}", flush=True)
+
+    # matched-rate comparison: BD-rate of performance vs plain on ROI PSNR
+    perf = results["variants"]["performance"]["estimated_rd"]
+    plain = results["variants"]["plain"]["estimated_rd"]
+    bd_roi = bd_rate(plain["bpp"], plain["roi_psnr"],
+                     perf["bpp"], perf["roi_psnr"])
+    bd_global = bd_rate(plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+    results["bd_rate_roi_psnr_pct"] = bd_roi
+    results["bd_rate_psnr_pct"] = bd_global
+    print(f"[bd] ROI-PSNR BD-rate (performance vs plain): {bd_roi:+.1f}% "
+          f"(negative = rate saved at equal ROI quality)")
+    print(f"[bd] global-PSNR BD-rate: {bd_global:+.1f}%")
+
+    # QP monotonicity check
+    for v, c in results["variants"].items():
+        bpps = c["estimated_rd"]["bpp"]
+        mono = all(bpps[i] > bpps[i + 1] for i in range(len(bpps) - 1))
+        results["variants"][v]["bpp_monotone_decreasing_in_qp"] = mono
+        print(f"[mono] {v}: bpp monotone over QP: {mono} {bpps}")
+
+    # real coded path: est vs real bpp at three QPs
+    trainer, state = trained["performance"]
+    codec = VideoCodec(trainer.dmci, state.params_i, trainer.dmc,
+                       state.params_p)
+    est_vs_real = {}
+    for qi, qp in enumerate((20, 32, 44)):
+        frames, masks = eval_clips[0]
+        coded = evaluate_gop_coded(
+            codec, frames, masks, qp=qp,
+            index_map=list(trainer.cfg.compression.index_map),
+            qp_shift=list(trainer.dmc_cfg.qp_shift))
+        real_bpp = float(np.mean([r["bpp"] for r in coded
+                                  if r["frame_type"] == "P"]))
+        est_bpp = perf["bpp"][EVAL_QPS.index(qp)] if qp in EVAL_QPS else None
+        est_vs_real[qp] = {"real": real_bpp, "estimated": est_bpp}
+        print(f"[coded] qp={qp}: real {real_bpp:.4f} bpp"
+              + (f" vs est {est_bpp:.4f}" if est_bpp else ""))
+    results["estimate_vs_real_bpp"] = est_vs_real
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/rd_full.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote artifacts/rd_full.json")
+
+
+if __name__ == "__main__":
+    main()

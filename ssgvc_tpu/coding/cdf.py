@@ -97,16 +97,36 @@ def build_z_cdf_tables(bit_estimator_params, qp_num: int, channel: int,
     return _quantize_rows(pmf, tail, lengths, offsets, precision)
 
 
+#: The refactor GaussianEncoder's fixed per-distribution scale-table params
+#: (src/refactor/entropy_models.py:220-243): 256 log-spaced levels up to 64,
+#: Laplace reaching down to 0.01. The RT-style coder uses (0.11, 16, 128).
+REFRACTOR_PROFILES = {
+    "gaussian": dict(scale_min=0.11, scale_max=64.0, levels=256),
+    "laplace": dict(scale_min=0.01, scale_max=64.0, levels=256),
+}
+
+
 def build_y_cdf_tables(scale_min: float = 0.11, scale_max: float = 16.0,
                        levels: int = 128, scan_range: int = 8,
-                       precision: int = 16) -> CdfTables:
-    """Zero-mean Gaussian tables over the log-spaced scale table
-    (src/models/entropy_models.py:248-283)."""
+                       precision: int = 16,
+                       distribution: str = "gaussian") -> CdfTables:
+    """Zero-mean Gaussian/Laplace tables over the log-spaced scale table
+    (src/models/entropy_models.py:248-283; distribution choice + wide table
+    from the refactor GaussianEncoder, src/refactor/entropy_models.py:220-243
+    — its scan range is 50 to cover scale_max=64)."""
     scales = np.exp(np.linspace(math.log(scale_min), math.log(scale_max),
                                 levels))
 
-    def ncdf(x, s):
-        return 0.5 * (1 + np.vectorize(math.erf)(x / (s * math.sqrt(2.0))))
+    if distribution == "laplace":
+        def ncdf(x, s):
+            x = np.asarray(x, np.float64)
+            return np.where(x < 0, 0.5 * np.exp(x / s),
+                            1.0 - 0.5 * np.exp(-x / s))
+    elif distribution == "gaussian":
+        def ncdf(x, s):
+            return 0.5 * (1 + np.vectorize(math.erf)(x / (s * math.sqrt(2.0))))
+    else:
+        raise ValueError(f"unknown distribution {distribution!r}")
 
     # pmf_center = smallest i in [2, scan] with cdf(i) > 0.9999 else scan
     centers = np.full(levels, scan_range, np.int32)

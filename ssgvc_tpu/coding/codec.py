@@ -64,21 +64,45 @@ def _pack(symbols: np.ndarray, indexes: np.ndarray) -> np.ndarray:
 
 
 class VideoCodec:
-    """Trained DMCI + DMC params + rANS tables + jitted per-stage programs."""
+    """Trained DMCI + DMC params + rANS tables + jitted per-stage programs.
+
+    ``skip_thres`` (optional) enables decode-side skip sparsification of the
+    y coder: positions whose (decoder-derived) scale is <= skip_thres are not
+    entropy-coded at all and restore as zero symbols — both sides compute the
+    same skip set from the same jitted scales, so the stream stays in sync
+    (src/layers/inference.py:75-84 ``skip`` packing).
+
+    ``coder_profile``: None keeps the RT-style 128-level 0.11-16 Gaussian
+    table; 'gaussian' / 'laplace' select the refactor GaussianEncoder's wide
+    256-level tables (src/refactor/entropy_models.py:220-243)."""
 
     def __init__(self, dmci: DMCI, dmci_params, dmc: DMC, dmc_params,
-                 scale_levels: int = 128, ec_part: int = 0):
+                 scale_levels: int = 128, ec_part: int = 0,
+                 skip_thres: float = 0.0, coder_profile: str = None):
         self.dmci = dmci
         self.dmc = dmc
         self.params_i = dmci_params
         self.params_p = dmc_params
-        self.scale_levels = scale_levels
         self.ec_part = int(ec_part)
+        self.skip_thres = float(skip_thres)
+        if coder_profile is None:
+            self.scale_min, self.scale_max = 0.11, 16.0
+            self.scale_levels = scale_levels
+            dist, scan = "gaussian", 8
+        else:
+            prof = cdf_mod.REFRACTOR_PROFILES[coder_profile]
+            self.scale_min = prof["scale_min"]
+            self.scale_max = prof["scale_max"]
+            self.scale_levels = prof["levels"]
+            # scan 50 covers scale_max=64 (src/refactor/entropy_models.py:252)
+            dist, scan = coder_profile, 50
 
         # quantized CDF tables — the reference's update() (SURVEY §2.4)
         self.ec_i = EntropyCoder()
         self.ec_p = EntropyCoder()
-        y_tables = cdf_mod.build_y_cdf_tables(levels=scale_levels)
+        y_tables = cdf_mod.build_y_cdf_tables(
+            scale_min=self.scale_min, scale_max=self.scale_max,
+            levels=self.scale_levels, scan_range=scan, distribution=dist)
         z_i = cdf_mod.build_z_cdf_tables(
             dmci_params["bit_estimator_z"], dmci.cfg.qp_num, dmci.cfg.z_channel)
         z_p = cdf_mod.build_z_cdf_tables(
@@ -97,19 +121,24 @@ class VideoCodec:
         self.enc_time = 0.0
         self.dec_time = 0.0
 
+    def _build_idx(self, scales: jnp.ndarray) -> jnp.ndarray:
+        """Scale -> table row for THIS codec's scale table (profile-aware)."""
+        return cdf_mod.build_indexes_decoder(
+            scales, scale_min=self.scale_min, scale_max=self.scale_max,
+            levels=self.scale_levels)
+
     # ================================================================= DMC =
 
-    @functools.partial(jax.jit, static_argnums=(0, 6))
-    def _dmc_analysis(self, params, x, mask, qp, dpb, after_i: bool):
-        """Encoder-only transform: source frame -> (y, z_int8, mask_out)."""
+    @functools.partial(jax.jit, static_argnums=(0, 7))
+    def _dmc_analysis(self, params, x, mask, qp, ctx, ctx_t, after_i: bool):
+        """Encoder-only transform: source frame -> (y, z_int8, mask_out).
+        Takes (ctx, ctx_t) from ``_dmc_fe`` so the FeatureExtractor runs
+        exactly once per encoded frame."""
         m = self.dmc
         c = m.cfg
 
         def run(mod):
             q_encoder = jnp.take(mod.q_encoder, qp, axis=0).reshape(1, 1, 1, -1)
-            q_feature = jnp.take(mod.q_feature, qp, axis=0).reshape(1, 1, 1, -1)
-            feature = mod.apply_feature_adaptor(dpb, after_i)
-            ctx, ctx_t = mod.feature_extractor(feature, q_feature)
             y = mod.encoder(x, ctx, q_encoder)
 
             current_mask = mask
@@ -126,23 +155,39 @@ class VideoCodec:
 
         return m.apply({"params": params}, method=run)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def _dmc_stage_a(self, params, z_hat, qp, dpb, after_i: bool):
-        """Shared: z -> prior params, ctx, pass-0 scale indexes."""
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _dmc_fe(self, params, qp, dpb, after_i: bool):
+        """Decoder-side temporal conditioning — depends ONLY on the DPB, so
+        it is dispatched BEFORE the host entropy-decodes z and the device
+        computes ctx while the host rANS runs (the reference's side-stream
+        overlap, src/models/video_model.py:312-327)."""
         m = self.dmc
 
         def run(mod):
             q_feature = jnp.take(mod.q_feature, qp, axis=0).reshape(1, 1, 1, -1)
             feature = mod.apply_feature_adaptor(dpb, after_i)
             x1, ctx_t = mod.feature_extractor.part1(feature, q_feature)
+            ctx = mod.feature_extractor.part2(x1)
+            return {"ctx_t": ctx_t, "ctx": ctx}
+
+        return m.apply({"params": params}, method=run)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _dmc_prior(self, params, z_hat, ctx_t):
+        """z -> prior params + pass-0 scale indexes (+ keep mask if skip)."""
+        m = self.dmc
+
+        def run(mod):
             params3 = mod.res_prior_param_decoder(z_hat, ctx_t)
             _, scales0, _ = jnp.split(params3, 3, axis=-1)
             ch, hh, ww = scales0.shape[-1], scales0.shape[1], scales0.shape[2]
             m0, _ = common.checkerboard_masks_2x(ch, hh, ww, dtype=scales0.dtype)
-            idx0 = cdf_mod.build_indexes_decoder(_fold2(scales0 * m0),
-                                                 levels=self.scale_levels)
-            ctx = mod.feature_extractor.part2(x1)
-            return {"params3": params3, "ctx": ctx, "idx0": idx0}
+            folded = _fold2(scales0 * m0)
+            idx0 = self._build_idx(folded)
+            out = {"params3": params3, "idx0": idx0}
+            if self.skip_thres > 0:
+                out["keep0"] = folded > self.skip_thres
+            return out
 
         return m.apply({"params": params}, method=run)
 
@@ -180,13 +225,15 @@ class VideoCodec:
             ch, hh, ww = means0.shape[-1], means0.shape[1], means0.shape[2]
             m0, m1 = common.checkerboard_masks_2x(ch, hh, ww, dtype=means0.dtype)
             y_hat_0 = _restore2(y_q_r0, means0 * m0, m0)
-            cat_params = jnp.concatenate([y_hat_0, params3], axis=-1)
-            scales1, means1 = jnp.split(mod.y_spatial_prior(cat_params), 2,
-                                        axis=-1)
-            idx1 = cdf_mod.build_indexes_decoder(_fold2(scales1 * m1),
-                                                 levels=self.scale_levels)
-            return {"y_hat_0": y_hat_0, "means1": means1, "idx1": idx1,
-                    "q_dec": jnp.maximum(q_dec, 0.5)}
+            scales1, means1 = jnp.split(
+                mod.y_spatial_prior((y_hat_0, params3)), 2, axis=-1)
+            folded = _fold2(scales1 * m1)
+            idx1 = self._build_idx(folded)
+            out = {"y_hat_0": y_hat_0, "means1": means1, "idx1": idx1,
+                   "q_dec": jnp.maximum(q_dec, 0.5)}
+            if self.skip_thres > 0:
+                out["keep1"] = folded > self.skip_thres
+            return out
 
         return m.apply({"params": params}, method=run)
 
@@ -208,6 +255,14 @@ class VideoCodec:
 
         return m.apply({"params": params}, method=run)
 
+    def _apply_skip(self, y_q: np.ndarray, keep) -> np.ndarray:
+        """Zero skipped symbols so encoder- and decoder-side reconstructions
+        agree bit-for-bit (the reference drops them from the stream,
+        src/layers/inference.py:75-84)."""
+        if keep is None:
+            return y_q
+        return y_q * np.asarray(keep).astype(y_q.dtype)
+
     def dmc_compress(self, x, qp: int, dpb, after_i: bool,
                      mask=None) -> Dict:
         """x: (1, H, W, 3) -> {'bit_stream', 'x_hat', 'dpb', 'mask_out'}."""
@@ -215,23 +270,38 @@ class VideoCodec:
         if mask is None:
             mask = jnp.zeros(x.shape[:3] + (1,), x.dtype)
         qp_j = jnp.int32(qp)
+        skip = self.skip_thres > 0
 
-        ana = self._dmc_analysis(self.params_p, x, mask, qp_j, dpb, after_i)
+        fe = self._dmc_fe(self.params_p, qp_j, dpb, after_i)
+        ana = self._dmc_analysis(self.params_p, x, mask, qp_j,
+                                 fe["ctx"], fe["ctx_t"], after_i)
         z_int8 = np.asarray(ana["z_int8"])
         z_hat = jnp.asarray(z_int8.astype(np.float32))
 
-        a = self._dmc_stage_a(self.params_p, z_hat, qp_j, dpb, after_i)
+        a = self._dmc_prior(self.params_p, z_hat, fe["ctx_t"])
         y_q_r0 = self._dmc_quantize_pass(self.params_p, ana["y"],
                                          a["params3"], 0)
+        keep0 = np.asarray(a["keep0"]) if skip else None
+        y_q_r0_np = self._apply_skip(np.asarray(y_q_r0), keep0)
+        if skip:
+            y_q_r0 = jnp.asarray(y_q_r0_np)
+
         b = self._dmc_stage_b(self.params_p, a["params3"], y_q_r0)
         y_q_r1 = self._dmc_quantize_pass(
             self.params_p, ana["y"],
             {"means": b["means1"], "q_dec": b["q_dec"]}, 1)
+        keep1 = np.asarray(b["keep1"]) if skip else None
+        y_q_r1_np = self._apply_skip(np.asarray(y_q_r1), keep1)
+        if skip:
+            y_q_r1 = jnp.asarray(y_q_r1_np)
         cres = self._dmc_stage_c(self.params_p, b["y_hat_0"], b["means1"],
-                                 y_q_r1, b["q_dec"], qp_j, a["ctx"])
+                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"])
 
-        packed0 = _pack(np.asarray(y_q_r0), np.asarray(a["idx0"]))
-        packed1 = _pack(np.asarray(y_q_r1), np.asarray(b["idx1"]))
+        packed0 = _pack(y_q_r0_np, np.asarray(a["idx0"]))
+        packed1 = _pack(y_q_r1_np, np.asarray(b["idx1"]))
+        if skip:
+            packed0 = packed0[keep0.reshape(-1)]
+            packed1 = packed1[keep1.reshape(-1)]
 
         self.ec_p.reset()
         zc = self.dmc.cfg.ch_z
@@ -247,33 +317,68 @@ class VideoCodec:
                 "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]},
                 "mask_out": ana["mask_out"]}
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _dmc_predict_mask(self, params, prev_mask, ctx, ctx_t):
+        """Decoder-side mask propagation (mask_prop): the same jitted
+        MaskPredictor the encoder ran, so both sides derive bit-identical
+        mask chains (src/refactor/mask_prop_seg_video_model.py:365-368)."""
+        m = self.dmc
+        return m.apply({"params": params},
+                       method=lambda mod: mod.mask_predictor(prev_mask, ctx,
+                                                             ctx_t))
+
+    def _decode_y_pass(self, idx, keep) -> jnp.ndarray:
+        """Host rANS decode of one checkerboard pass, honoring skip."""
+        idx_np = np.asarray(idx)
+        if keep is None:
+            self.ec_p.decode_y(idx_np.reshape(-1), self.y_group_p)
+            vals = self.ec_p.get_decoded_tensor().astype(np.float32)
+            return jnp.asarray(vals.reshape(idx_np.shape))
+        keep_np = np.asarray(keep).reshape(-1)
+        self.ec_p.decode_y(idx_np.reshape(-1)[keep_np], self.y_group_p)
+        vals = np.zeros(idx_np.size, np.float32)
+        vals[keep_np] = self.ec_p.get_decoded_tensor().astype(np.float32)
+        return jnp.asarray(vals.reshape(idx_np.shape))
+
     def dmc_decompress(self, stream: bytes, height: int, width: int, qp: int,
-                       dpb, after_i: bool) -> Dict:
+                       dpb, after_i: bool, mask=None) -> Dict:
+        """``mask`` (mask_prop only): the decoder-side mask chain carry — GT
+        at the first P-frame, the previous prediction after; returns the
+        propagated ``mask_out`` for the next frame."""
         t0 = time.perf_counter()
         c = self.dmc.cfg
         zc = c.ch_z
         z_h, z_w = common.get_downsampled_shape(height, width, 64)
         qp_j = jnp.int32(qp)
+        skip = self.skip_thres > 0
+
+        # dispatch the DPB-only conditioning FIRST: the device computes
+        # ctx/ctx_t while the host entropy-decodes z (side-stream overlap)
+        fe = self._dmc_fe(self.params_p, qp_j, dpb, after_i)
+
+        mask_out = mask
+        if (c.mask_source == "propagated" and not after_i
+                and mask is not None):
+            mask_out = self._dmc_predict_mask(self.params_p, mask,
+                                              fe["ctx"], fe["ctx_t"])
+
         self.ec_p.set_stream(stream)
         self.ec_p.decode_z(zc * z_h * z_w, self.z_group_p, qp * zc, z_h * z_w)
         z_vals = self.ec_p.get_decoded_tensor().reshape(zc, z_h, z_w)
         z_hat = jnp.asarray(z_vals.transpose(1, 2, 0)[None].astype(np.float32))
 
-        a = self._dmc_stage_a(self.params_p, z_hat, qp_j, dpb, after_i)
-        self.ec_p.decode_y(np.asarray(a["idx0"]).reshape(-1), self.y_group_p)
-        y_q_r0 = jnp.asarray(self.ec_p.get_decoded_tensor()
-                             .astype(np.float32).reshape(a["idx0"].shape))
+        a = self._dmc_prior(self.params_p, z_hat, fe["ctx_t"])
+        y_q_r0 = self._decode_y_pass(a["idx0"], a.get("keep0") if skip else None)
 
         b = self._dmc_stage_b(self.params_p, a["params3"], y_q_r0)
-        self.ec_p.decode_y(np.asarray(b["idx1"]).reshape(-1), self.y_group_p)
-        y_q_r1 = jnp.asarray(self.ec_p.get_decoded_tensor()
-                             .astype(np.float32).reshape(b["idx1"].shape))
+        y_q_r1 = self._decode_y_pass(b["idx1"], b.get("keep1") if skip else None)
 
         cres = self._dmc_stage_c(self.params_p, b["y_hat_0"], b["means1"],
-                                 y_q_r1, b["q_dec"], qp_j, a["ctx"])
+                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"])
         self.dec_time = time.perf_counter() - t0
         return {"x_hat": cres["x_hat"],
-                "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]}}
+                "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]},
+                "mask_out": mask_out}
 
     # ================================================================ DMCI =
 
@@ -299,8 +404,7 @@ class VideoCodec:
             _, _, scales, _ = common.separate_prior_image(params_all)
             ch, hh, ww = scales.shape[-1], scales.shape[1], scales.shape[2]
             masks = common.checkerboard_masks_4x(ch, hh, ww, dtype=scales.dtype)
-            idx = cdf_mod.build_indexes_decoder(_fold4(scales * masks[0]),
-                                                levels=self.scale_levels)
+            idx = self._build_idx(_fold4(scales * masks[0]))
             return {"params_all": params_all, "idx": idx}
 
         return m.apply({"params": params}, method=run)
@@ -344,7 +448,7 @@ class VideoCodec:
             if pass_idx == 0:
                 means_i = means0
             else:
-                cat = jnp.concatenate([y_hat_so_far, reduced], axis=-1)
+                cat = (y_hat_so_far, reduced)
                 _, means_i = jnp.split(
                     mod.y_spatial_prior(adaptors[pass_idx - 1](cat)), 2,
                     axis=-1)
@@ -354,12 +458,10 @@ class VideoCodec:
                           else y_hat_so_far + y_hat_i)
 
             if pass_idx < 3:
-                cat = jnp.concatenate([new_so_far, reduced], axis=-1)
+                cat = (new_so_far, reduced)
                 s_next, means_next = jnp.split(
                     mod.y_spatial_prior(adaptors[pass_idx](cat)), 2, axis=-1)
-                idx = cdf_mod.build_indexes_decoder(
-                    _fold4(s_next * masks[pass_idx + 1]),
-                    levels=self.scale_levels)
+                idx = self._build_idx(_fold4(s_next * masks[pass_idx + 1]))
                 return {"y_hat_so_far": new_so_far, "idx": idx,
                         "means_next": means_next}
             return {"y_hat_so_far": new_so_far * q_dec, "idx": None,

@@ -41,8 +41,11 @@ class CodingSession:
         encoder-side reconstructions)."""
         t_total, h, w, _ = frames.shape
         writer = BitstreamWriter(f)
-        stats: Dict = {"frame_bits": [], "frame_types": [], "recons": []}
+        propagated = self.codec.dmc.cfg.mask_source == "propagated"
+        stats: Dict = {"frame_bits": [], "frame_types": [], "recons": [],
+                       "masks": []}
         dpb = None
+        mask_carry = None
         for t in range(t_total):
             in_gop = t % self.gop_size
             x = jnp.asarray(frames[t])[None]
@@ -52,26 +55,47 @@ class CodingSession:
                 feat0 = jnp.zeros((1, h // 8, w // 8, self.codec.dmc.cfg.ch_d),
                                   jnp.float32)
                 dpb = {"frame": out["x_hat"], "feature": feat0}
+                mask_carry = None
                 stats["frame_types"].append("I")
             else:
                 curr_qp = self._curr_qp(qp, in_gop)
+                after_i = in_gop == 1
                 mask = (jnp.asarray(masks[t])[None]
                         if masks is not None else None)
+                if propagated and not after_i and mask_carry is not None:
+                    # decoder-side chain: only the first P-frame's mask is
+                    # transmitted; later frames use the shared prediction
+                    # (src/refactor/mask_prop_seg_video_model.py:365-368)
+                    mask = mask_carry
                 out = self.codec.dmc_compress(x, curr_qp, dpb,
-                                              after_i=(in_gop == 1), mask=mask)
+                                              after_i=after_i, mask=mask)
                 writer.write_frame(False, h, w, curr_qp, out["bit_stream"])
                 dpb = out["dpb"]
+                mask_carry = out.get("mask_out")
+                if mask_carry is not None:
+                    stats["masks"].append(np.asarray(mask_carry[0]))
                 stats["frame_types"].append("P")
             stats["frame_bits"].append(len(out["bit_stream"]) * 8)
             stats["recons"].append(np.asarray(out["x_hat"][0]))
         return stats
 
-    def decode_sequence(self, f: BinaryIO) -> List[np.ndarray]:
-        """Reads the container; returns decoded frames (each (H, W, 3))."""
+    def decode_sequence(self, f: BinaryIO,
+                        masks: Optional[np.ndarray] = None,
+                        return_masks: bool = False):
+        """Reads the container; returns decoded frames (each (H, W, 3)).
+
+        ``masks`` (mask_prop only): the out-of-band GT masks — only the
+        entries right after an I-frame are consumed (the variant's premise is
+        that later P-frame masks need not be transmitted; the decoder
+        propagates them). ``return_masks`` additionally returns the
+        decoder-side mask chain (logit maps, one per P-frame)."""
         reader = BitstreamReader(f)
         frames: List[np.ndarray] = []
+        mask_chain: List[np.ndarray] = []
         dpb = None
         after_i = False
+        mask_carry = None
+        t = 0
         while True:
             unit = reader.read_frame()
             if unit is None:
@@ -85,11 +109,21 @@ class CodingSession:
                      self.codec.dmc.cfg.ch_d), jnp.float32)
                 dpb = {"frame": out["x_hat"], "feature": feat0}
                 after_i = True
+                mask_carry = None
             else:
+                if after_i and masks is not None:
+                    mask_carry = jnp.asarray(masks[t])[None]
                 out = self.codec.dmc_decompress(unit["payload"], sps.height,
                                                 sps.width, unit["qp"], dpb,
-                                                after_i=after_i)
+                                                after_i=after_i,
+                                                mask=mask_carry)
                 dpb = out["dpb"]
+                mask_carry = out.get("mask_out")
+                if mask_carry is not None:
+                    mask_chain.append(np.asarray(mask_carry[0]))
                 after_i = False
             frames.append(np.asarray(out["x_hat"][0]))
+            t += 1
+        if return_masks:
+            return frames, mask_chain
         return frames

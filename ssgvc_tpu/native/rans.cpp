@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -155,8 +156,13 @@ class RansEncImpl {
     if (!two_streams) {
       encoded = encode_stream(pending[0]);
     } else {
-      auto sa = encode_stream(pending[0]);
-      auto sb = encode_stream(pending[1]);
+      // the whole point of the split: both streams encode concurrently
+      // (the reference's set_use_two_entropy_coders exists to parallelize,
+      // src/models/entropy_models.py:79-81)
+      std::vector<uint8_t> sa, sb;
+      std::thread tb([&] { sb = encode_stream(pending[1]); });
+      sa = encode_stream(pending[0]);
+      tb.join();
       uint32_t len_a = static_cast<uint32_t>(sa.size());
       encoded.resize(4);
       std::memcpy(encoded.data(), &len_a, 4);
@@ -264,13 +270,19 @@ class RansDecImpl {
       for (size_t i = 0; i < n; ++i)
         decoded.push_back(decode_one(cur[0], indexes[i], group));
     } else {
+      // decode the two independent streams on two threads; each half only
+      // touches its own cursor and a disjoint slice of `decoded`
       size_t half = n / 2;
       size_t base = decoded.size();
       decoded.resize(base + n);
+      int32_t* out = decoded.data() + base;
+      std::thread t1([&] {
+        for (size_t i = half; i < n; ++i)
+          out[i] = decode_one(cur[1], indexes[i], group);
+      });
       for (size_t i = 0; i < half; ++i)
-        decoded[base + i] = decode_one(cur[0], indexes[i], group);
-      for (size_t i = half; i < n; ++i)
-        decoded[base + i] = decode_one(cur[1], indexes[i], group);
+        out[i] = decode_one(cur[0], indexes[i], group);
+      t1.join();
     }
   }
 };

@@ -5,6 +5,8 @@ import io
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles dominate
+
 import jax
 import jax.numpy as jnp
 
@@ -173,3 +175,106 @@ def test_two_coder_codec_round_trip():
                                 after_i=True)
     np.testing.assert_array_equal(np.asarray(out["x_hat"]),
                                   np.asarray(dec["x_hat"]))
+
+
+def test_skip_threshold_round_trip():
+    """skip_thres > 0: positions with decoder-derived scale <= thres are not
+    coded (src/layers/inference.py:75-84); round trip stays bit-exact and
+    the stream shrinks on sparse latents."""
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("performance", **TINY))
+    rng = jax.random.PRNGKey(2)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+
+    rngn = np.random.default_rng(11)
+    x = jnp.asarray(rngn.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    dpb = {"frame": x, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                            jnp.float32)}
+
+    plain = VideoCodec(dmci, pi, dmc, pp)
+    skip = VideoCodec(dmci, pi, dmc, pp, skip_thres=0.5)
+
+    out_plain = plain.dmc_compress(x, 40, dpb, after_i=True)
+    out_skip = skip.dmc_compress(x, 40, dpb, after_i=True)
+    dec_skip = skip.dmc_decompress(out_skip["bit_stream"], 64, 64, 40, dpb,
+                                   after_i=True)
+    np.testing.assert_array_equal(np.asarray(out_skip["x_hat"]),
+                                  np.asarray(dec_skip["x_hat"]))
+    assert len(out_skip["bit_stream"]) < len(out_plain["bit_stream"])
+
+
+def test_mask_prop_decode_side_mask_chain():
+    """mask_prop: the decoder propagates the mask itself and the chain
+    bit-matches the encoder side across a GOP
+    (src/refactor/mask_prop_seg_video_model.py:365-368)."""
+    from ssgvc_tpu.coding.session import CodingSession
+
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("mask_prop", **TINY))
+    rng = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+    codec_mp = VideoCodec(dmci, pi, dmc, pp)
+    session = CodingSession(codec_mp, gop_size=4)
+
+    rngn = np.random.default_rng(13)
+    frames = rngn.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    masks = (rngn.uniform(0, 1, (4, 64, 64, 1)) > 0.6).astype(np.float32)
+
+    import io as _io
+    buf = _io.BytesIO()
+    stats = session.encode_sequence(buf, frames, qp=30, masks=masks)
+    assert len(stats["masks"]) == 3  # one per P-frame
+
+    buf.seek(0)
+    decoded, mask_chain = session.decode_sequence(buf, masks=masks,
+                                                  return_masks=True)
+    assert len(mask_chain) == 3
+    for rec, enc_rec in zip(decoded, stats["recons"]):
+        np.testing.assert_array_equal(rec, enc_rec)
+    for dm, em in zip(mask_chain, stats["masks"]):
+        np.testing.assert_array_equal(dm, em)
+
+
+@pytest.mark.parametrize("profile", ["gaussian", "laplace"])
+def test_coder_profile_round_trip(profile):
+    """Refactor GaussianEncoder profiles: 256-level 0.11/0.01-64 tables,
+    Gaussian or Laplace (src/refactor/entropy_models.py:220-243); round trip
+    stays bit-exact with either distribution."""
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("performance", **TINY))
+    rng = jax.random.PRNGKey(5)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+    c = VideoCodec(dmci, pi, dmc, pp, coder_profile=profile)
+    assert c.scale_levels == 256 and c.scale_max == 64.0
+
+    rngn = np.random.default_rng(17)
+    x = jnp.asarray(rngn.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    dpb = {"frame": x, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                            jnp.float32)}
+    out = c.dmc_compress(x, 40, dpb, after_i=True)
+    dec = c.dmc_decompress(out["bit_stream"], 64, 64, 40, dpb, after_i=True)
+    np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                  np.asarray(dec["x_hat"]))
+
+    i_out = c.dmci_compress(x, 2)
+    i_dec = c.dmci_decompress(i_out["bit_stream"], 64, 64, 2)
+    np.testing.assert_array_equal(np.asarray(i_out["x_hat"]),
+                                  np.asarray(i_dec["x_hat"]))

@@ -19,6 +19,7 @@ Design notes (differences from a naive port):
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -134,6 +135,40 @@ class Concat1x1(nn.Module):
         return out + bias.astype(dt)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for a conv child: declares kernel/bias with
+    the exact names, shapes, dtypes and initializers ``conv(...)`` would, so
+    the Pallas DCB path shares checkpoints with the conv path."""
+
+    kshape: tuple
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            self.kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],),
+                       jnp.float32)
+        return k, b
+
+
+def _pallas_dcb_wanted(x, out_ch: int) -> bool:
+    """Runtime gate for the fused Pallas DepthConvBlock (inference only —
+    pallas_call has no VJP here; training keeps the conv composition).
+    Requires SSGVC_PALLAS_DCB=1 plus TPU-friendly shapes: B=1 (the depthwise
+    halo is masked per frame), lane-aligned channels, sublane-aligned W."""
+    if _os.environ.get("SSGVC_PALLAS_DCB", "0") != "1":
+        return False
+    if not isinstance(x, jnp.ndarray) or x.ndim != 4:
+        return False
+    b, h, w, c_in = x.shape
+    return (b == 1 and c_in == out_ch and out_ch % 128 == 0
+            and w % 16 == 0 and h >= 2)
+
+
 class DepthConvBlock(nn.Module):
     """Depthwise-conv residual block + gated FFN (src/layers/layers.py:43-79).
 
@@ -176,6 +211,25 @@ class DepthConvBlock(nn.Module):
         # do not blow up activations (flax's lecun_normal otherwise compounds
         # ~2x per block and saturates the [0,1] recon clamp, killing all
         # synthesis gradients). Imported torch checkpoints overwrite this.
+        if _pallas_dcb_wanted(x, self.out_ch):
+            # fused Pallas kernel: one HBM read of x / one write of the
+            # output, all intermediates in VMEM (ops/pallas_dcb.py). Param
+            # tree is IDENTICAL to the conv path (same names/shapes), so
+            # checkpoints are interchangeable and the flag is runtime-only.
+            from ..ops.pallas_dcb import dcb_fused
+
+            c = self.out_ch
+            k0, b0 = _ConvParams((1, 1, c, c), name="dc_0")()
+            k2, b2 = _ConvParams((3, 3, 1, c), name="dc_2")()
+            k3, b3 = _ConvParams((1, 1, c, c), zero_init=True, name="dc_3")()
+            kf0, bf0 = _ConvParams((1, 1, c, 4 * c), name="ffn_0")()
+            kf2, bf2 = _ConvParams((1, 1, 2 * c, c), zero_init=True,
+                                   name="ffn_2")()
+            q = (None if quant_step is None
+                 else jnp.broadcast_to(quant_step, (1, 1, 1, c)))
+            return dcb_fused(x, k0, b0, k2, b2, k3, b3, kf0, bf0, kf2, bf2,
+                             q=q, shortcut=self.shortcut)
+
         h = conv(self.out_ch, 1, name="dc_0", dtype=self.dtype)(x)
         h = wsilu(h)
         h = conv(self.out_ch, 3, padding=1, groups=self.out_ch, name="dc_2",

@@ -67,7 +67,7 @@ class WaymoClipDataset:
     def __init__(self, tfrecord_paths, seg_cache_dir: str = "seg_cache",
                  seq_len: int = 4, slide: int = 1,
                  crop_size: Optional[int] = 128, strict_masks: bool = False,
-                 return_proj: bool = False):
+                 return_proj: bool = False, proj_mode: str = "occupancy"):
         if isinstance(tfrecord_paths, str):
             tfrecord_paths = sorted(glob.glob(tfrecord_paths))
         self.paths: List[str] = list(tfrecord_paths)
@@ -79,6 +79,7 @@ class WaymoClipDataset:
         self.crop_size = int(crop_size) if crop_size else None
         self.strict_masks = strict_masks
         self.return_proj = return_proj
+        self.proj_mode = proj_mode  # 'occupancy' | 'legacy3' (data/lidar.py)
 
         self._offsets: Dict[str, List[int]] = {
             p: tfrecord.record_offsets(p) for p in self.paths}
@@ -114,7 +115,8 @@ class WaymoClipDataset:
                 masks.append(mask)
                 if self.return_proj:
                     from .lidar import project_top_lidar
-                    projs.append(project_top_lidar(payload, h, w))
+                    projs.append(project_top_lidar(payload, h, w,
+                                                   mode=self.proj_mode))
 
         frames = np.stack(frames)  # (T, H, W, 3)
         masks = np.stack(masks)    # (T, H, W, 1)

@@ -99,10 +99,21 @@ def extract_laser_blobs(frame_bytes: bytes, laser_name: int = TOP_LIDAR
 
 
 def project_top_lidar(frame_bytes: bytes, height: int, width: int,
-                      camera_name: int = FRONT) -> np.ndarray:
-    """(H, W, 3) float projection aligned to the camera image: channel 0 is
-    top-lidar occupancy, channel 1 range (normalized /75m), channel 2
-    intensity — richer than the reference's occupancy-only flag."""
+                      camera_name: int = FRONT,
+                      mode: str = "occupancy") -> np.ndarray:
+    """(H, W, 3) float projection aligned to the camera image.
+
+    ``mode='occupancy'`` (default): channel 0 top-lidar occupancy, channel 1
+    range (/75m), channel 2 intensity — richer than the reference's
+    occupancy-only flag (src/dataset/seg_waymo_dataset.py:86-126).
+
+    ``mode='legacy3'``: the OLDER reference pipeline's depth/intensity/
+    elongation channels (src/dataset/waymo_dataset.py:20-79 — depth/75,
+    clip(intensity, 0, 1.5)/1.5, elongation/1.5). That code measured depth
+    as the camera-frame X of the 3-D point cloud; this projection reads the
+    proto's pixel-projection channels directly, so lidar RANGE stands in for
+    depth (a monotone proxy; no extrinsic solve needed).
+    """
     proj = np.zeros((height, width, 3), np.float32)
     blobs = extract_laser_blobs(frame_bytes)
     if blobs is None:
@@ -112,6 +123,7 @@ def project_top_lidar(frame_bytes: bytes, height: int, width: int,
 
     rng = ri[..., 0].reshape(-1)
     intensity = ri[..., 1].reshape(-1)
+    elong = ri[..., 2].reshape(-1)
     cp = cp.reshape(-1, 6)
     for base in (0, 3):  # first and second projections
         cam = cp[:, base]
@@ -119,9 +131,14 @@ def project_top_lidar(frame_bytes: bytes, height: int, width: int,
         v = cp[:, base + 2]
         keep = ((rng > 0) & (cam == camera_name)
                 & (u >= 0) & (u < width) & (v >= 0) & (v < height))
-        proj[v[keep], u[keep], 0] = 1.0
-        proj[v[keep], u[keep], 1] = np.clip(rng[keep] / 75.0, 0, 1)
-        proj[v[keep], u[keep], 2] = np.clip(intensity[keep], 0, 1)
+        if mode == "legacy3":
+            proj[v[keep], u[keep], 0] = rng[keep] / 75.0
+            proj[v[keep], u[keep], 1] = np.clip(intensity[keep], 0, 1.5) / 1.5
+            proj[v[keep], u[keep], 2] = elong[keep] / 1.5
+        else:
+            proj[v[keep], u[keep], 0] = 1.0
+            proj[v[keep], u[keep], 1] = np.clip(rng[keep] / 75.0, 0, 1)
+            proj[v[keep], u[keep], 2] = np.clip(intensity[keep], 0, 1)
     return proj
 
 

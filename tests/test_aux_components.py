@@ -228,3 +228,26 @@ def test_torch_import_helpers():
     assert (k4[:, :, 3] == 0).all()
     k4m = inflate_input_conv(k, extra_in=1, mode="mean")
     assert (k4m[:, :, 3] == 1).all()
+
+
+def test_lidar_projection_legacy3_channels():
+    """mode='legacy3': depth/intensity/elongation channel semantics of the
+    OLD reference pipeline (src/dataset/waymo_dataset.py:20-79)."""
+    import numpy as np
+    from ssgvc_tpu.data.lidar import (
+        build_laser_proto,
+        build_range_image_blobs,
+        project_top_lidar,
+    )
+    from ssgvc_tpu.data.waymo_proto import FRONT
+
+    ri = np.zeros((2, 3, 4), np.float32)
+    cp = np.zeros((2, 3, 6), np.int64)
+    ri[0, 0] = (15.0, 1.2, 0.6, 0)   # range, intensity, elongation
+    cp[0, 0] = (FRONT, 5, 7, 0, 0, 0)
+    frame = build_laser_proto(*build_range_image_blobs(ri, cp))
+
+    proj = project_top_lidar(frame, 32, 48, mode="legacy3")
+    np.testing.assert_allclose(proj[7, 5], [15.0 / 75.0, 1.2 / 1.5, 0.6 / 1.5],
+                               rtol=1e-6)
+    assert np.isclose(proj.sum(), proj[7, 5].sum())  # only one return lands

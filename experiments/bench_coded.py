@@ -5,6 +5,11 @@ Measures the 'performance' DMC variant end-to-end: analysis transforms on the
 TPU, two checkerboard symbol round-trips per P-frame, C++ rANS on the host
 (threaded two-stream decode when ec_part=1), bit-exact decoder verification.
 
+NOTE on --ec-part: the two rANS cursors decode on two std::threads
+(native/rans.cpp), but the gain is proportional to available host cores —
+on a 1-core host (this image: nproc=1) the split measures flat
+(~16 Msym/s either way); budget ~2x decode speedup per extra core.
+
     python experiments/bench_coded.py [n_frames] [--ec-part] [--skip 0.12]
 
 Prints per-frame enc/dec latency and fps, plus stream sizes.

@@ -251,3 +251,29 @@ def test_lidar_projection_legacy3_channels():
     np.testing.assert_allclose(proj[7, 5], [15.0 / 75.0, 1.2 / 1.5, 0.6 / 1.5],
                                rtol=1e-6)
     assert np.isclose(proj.sum(), proj[7, 5].sum())  # only one return lands
+
+
+def test_vimeo_mp4_dataset_round_trip(tmp_path):
+    """MP4-backed Vimeo loader decodes via cv2 (present in this image):
+    list file + sequences_mp4 layout, crop, YCbCr, zero masks."""
+    cv2 = pytest.importorskip("cv2")
+    from ssgvc_tpu.data.vimeo import Vimeo90kMP4Dataset
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "sequences_mp4" / "00001").mkdir(parents=True)
+    names = ["00001/0001", "00001/0002"]
+    for n in names:
+        p = str(tmp_path / "sequences_mp4" / (n + ".mp4"))
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 48))
+        assert w.isOpened()
+        for _ in range(7):
+            w.write((rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8))
+        w.release()
+    (tmp_path / "sep_trainlist.txt").write_text("\n".join(names) + "\n")
+
+    ds = Vimeo90kMP4Dataset(str(tmp_path), crop_size=32)
+    assert len(ds) == 2
+    frames, masks = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert frames.shape == (7, 32, 32, 3)
+    assert frames.dtype == np.float32 and frames.max() <= 1.0
+    assert masks.shape == (7, 32, 32, 1) and masks.sum() == 0

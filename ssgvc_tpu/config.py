@@ -212,7 +212,17 @@ def load_config(yaml_path: Optional[str] = None,
         value = yaml.safe_load(raw)
         node = cfg
         parts = key.split(".")
+        # CLI overrides are STRICT: a typo'd key (e.g. max_iters for epochs)
+        # silently training for 25 epochs is exactly the failure mode the
+        # tolerant YAML merge must not extend to explicit flags.
         for comp in parts[:-1]:
+            if not hasattr(node, comp):
+                raise KeyError(f"unknown config section {comp!r} in "
+                               f"override {ov!r}")
             node = getattr(node, comp)
+        if not hasattr(node, parts[-1]):
+            raise KeyError(f"unknown config key {key!r} in override {ov!r} "
+                           f"(did you mean one of "
+                           f"{sorted(vars(node))[:8]}...?)")
         setattr(node, parts[-1], value)
     return cfg

@@ -27,6 +27,7 @@ TPU-native rebuild of the reference's VideoCompressionTrainer
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -455,7 +456,9 @@ class Trainer:
                                     jnp.int32(32), train=False)
             orig = np.asarray(frames[0, 0], np.float32)
             recon = np.asarray(i_out["dpb"]["frame"][0], np.float32)
-            save_recon_panel(orig, recon, out_dir, f"recon_step{step}")
+            os.makedirs(out_dir, exist_ok=True)
+            save_recon_panel(orig, recon,
+                             os.path.join(out_dir, f"recon_step{step}.png"))
         except Exception as e:  # pragma: no cover - logging is best-effort
             print(f"[images] recon panel failed: {e}")
 

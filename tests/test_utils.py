@@ -173,3 +173,22 @@ def test_video_io(tmp_path):
     np.testing.assert_allclose(uv2, uv, atol=1 / 255.0)
     assert yr.read_one_frame() is None
     yr.close()
+
+
+def test_cli_overrides_strict_unknown_keys(tmp_path):
+    """Typo'd CLI keys raise instead of silently no-oping (epochs vs
+    max_iters once trained 25 epochs unnoticed); unknown YAML keys stay
+    tolerated for reference-config compatibility."""
+    import pytest
+    import yaml as _yaml
+    from ssgvc_tpu.config import load_config
+
+    y = tmp_path / "c.yaml"
+    y.write_text(_yaml.safe_dump({"epochs": 2, "not_a_real_key": 5}))
+    cfg = load_config(str(y), ["epochs=3", "dataset.batch_size=2"])
+    assert cfg.epochs == 3 and cfg.dataset.batch_size == 2
+
+    with pytest.raises(KeyError, match="max_iters"):
+        load_config(str(y), ["max_iters=3"])
+    with pytest.raises(KeyError, match="unknown config section"):
+        load_config(str(y), ["dataset2.batch_size=1"])

@@ -157,6 +157,11 @@ def main():
     results = {"steps": steps, "budget_min": budget_min,
                "model": {"dmc": MID_DMC, "dmci": MID_DMCI}, "variants": {}}
 
+    def _save_partial():
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/rd_full.json", "w") as f:
+            json.dump(results, f, indent=2)
+
     _, params_i = pretrain_dmci(max(1500, steps // 4), dm, total_s * 0.2)
 
     trained = {}
@@ -177,6 +182,7 @@ def main():
         curve = rd_sweep(eval_qp, qps=EVAL_QPS)
         results["variants"][variant] = {"estimated_rd": curve}
         trained[variant] = (trainer, state)
+        _save_partial()  # partial artifact survives an interrupted run
         print(f"[{variant}] RD: bpp={[round(b,4) for b in curve['bpp']]}")
         print(f"[{variant}]     psnr={[round(p,2) for p in curve['psnr']]}")
         print(f"[{variant}]     roi_psnr="

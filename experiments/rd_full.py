@@ -28,6 +28,10 @@ import jax.numpy as jnp
 EVAL_QPS = [8, 20, 32, 44, 56]
 MID_DMC = dict(ch_d=64, ch_y=32, ch_z=32, ch_recon=96)
 MID_DMCI = dict(enc_dec=96, N=64, z_channel=32)
+# CPU-runnable fallback profile (the 1-core host can train this at ~2-4
+# steps/s; RD separation and matched-rate ROI comparisons still demonstrate)
+TINY_DMC = dict(ch_d=32, ch_y=16, ch_z=16, ch_recon=32)
+TINY_DMCI = dict(enc_dec=48, N=32, z_channel=32)
 
 
 def sample_qp(host_rng) -> int:
@@ -128,10 +132,14 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
 
 
 def main():
+    global MID_DMC, MID_DMCI
     argv = sys.argv[1:]
     steps = int(argv[0]) if argv and not argv[0].startswith("-") else 12000
     budget_min = (float(argv[argv.index("--budget-min") + 1])
                   if "--budget-min" in argv else 120.0)
+    tiny = "--profile" in argv and argv[argv.index("--profile") + 1] == "tiny"
+    if tiny:
+        MID_DMC, MID_DMCI = TINY_DMC, TINY_DMCI
     # budget split: ~20% DMCI, ~40% each DMC variant
     total_s = budget_min * 60.0
 
@@ -144,9 +152,10 @@ def main():
     )
     from ssgvc_tpu.coding.codec import VideoCodec
 
-    train_ds = SyntheticClipDataset(num_clips=512, seq_len=4, crop_size=128,
+    crop, bs = (64, 4) if tiny else (128, 8)
+    train_ds = SyntheticClipDataset(num_clips=512, seq_len=4, crop_size=crop,
                                     seed=3)
-    dm = ClipDataModule(train_ds, batch_size=8, split=(0.95, 0.05, 0.0),
+    dm = ClipDataModule(train_ds, batch_size=bs, split=(0.95, 0.05, 0.0),
                         seed=3)
     # eval clips: 192 px so MS-SSIM is computed (>=176 px window rule)
     eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4, crop_size=192,

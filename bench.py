@@ -31,7 +31,33 @@ MODEL_GFLOP_PER_FRAME = 939.1  # XLA cost analysis of the full forward
 V5E_PEAK_TFLOPS = 197.0        # bf16
 
 
+def _require_backend(timeout_s: int = 180):
+    """Probe the backend in a SUBPROCESS under a timeout: a wedged axon
+    tunnel hangs backend init inside C++ (GIL held, signals useless) — the
+    driver's bench run should get an honest error JSON line, not a hang."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise TimeoutError(f"backend init exceeded {timeout_s}s")
+    except subprocess.CalledProcessError as e:
+        raise TimeoutError(f"backend init failed: {e.stderr[-300:]}")
+
+
 def main():
+    try:
+        _require_backend()
+    except TimeoutError as e:
+        print(json.dumps({
+            "metric": "1080p P-frame enc+dec fps/chip (performance variant, bf16)",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable: {e}",
+        }))
+        return
     from ssgvc_tpu.config import DMCConfig
     from ssgvc_tpu.models.dmc import DMC
     from ssgvc_tpu.ops.pixel import pixel_unshuffle

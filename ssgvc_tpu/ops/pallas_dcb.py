@@ -26,6 +26,14 @@ Counterpart of the torch DepthConvBlock (src/layers/layers.py:43-79); the
 math is identical to ssgvc_tpu.layers.blocks.DepthConvBlock up to float
 summation order (matmuls accumulate in f32, elementwise runs in f32).
 Forward-only: the training path keeps the XLA composition (autodiff).
+
+STATUS: verified bit-accurate in Pallas interpret mode (tests/
+test_pallas_dcb.py, max err ~2e-7 fp32). On this image's tunneled TPU the
+Mosaic compile goes through a remote-compile service; the one attempt did
+not return within 10 minutes (tunnel health issues at the time — cause not
+isolated), so SSGVC_PALLAS_DCB stays an opt-in experiment and the default
+bench path remains XLA. Re-validate on a directly-attached TPU before
+enabling in production.
 """
 
 from __future__ import annotations

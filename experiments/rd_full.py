@@ -191,6 +191,10 @@ def main():
         curve = rd_sweep(eval_qp, qps=EVAL_QPS)
         results["variants"][variant] = {"estimated_rd": curve}
         trained[variant] = (trainer, state)
+        from ssgvc_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(f"artifacts/rd_ckpt_{variant}",
+                        {"params_p": state.params_p,
+                         "params_i": state.params_i})
         _save_partial()  # partial artifact survives an interrupted run
         print(f"[{variant}] RD: bpp={[round(b,4) for b in curve['bpp']]}")
         print(f"[{variant}]     psnr={[round(p,2) for p in curve['psnr']]}")
@@ -211,12 +215,13 @@ def main():
           f"(negative = rate saved at equal ROI quality)")
     print(f"[bd] global-PSNR BD-rate: {bd_global:+.1f}%")
 
-    # QP monotonicity check
+    # QP monotonicity check: lambda(qp) interpolates 50 -> 38400 with QP, so
+    # HIGHER qp = heavier distortion weight = HIGHER rate; bpp must rise
     for v, c in results["variants"].items():
         bpps = c["estimated_rd"]["bpp"]
-        mono = all(bpps[i] > bpps[i + 1] for i in range(len(bpps) - 1))
-        results["variants"][v]["bpp_monotone_decreasing_in_qp"] = mono
-        print(f"[mono] {v}: bpp monotone over QP: {mono} {bpps}")
+        mono = all(bpps[i] < bpps[i + 1] for i in range(len(bpps) - 1))
+        results["variants"][v]["bpp_monotone_increasing_in_qp"] = mono
+        print(f"[mono] {v}: bpp monotone (rising) over QP: {mono} {bpps}")
 
     # real coded path: est vs real bpp at three QPs
     trainer, state = trained["performance"]

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Standalone RD evaluation from rd_full checkpoints.
+
+rd_full.py saves artifacts/rd_ckpt_{performance,plain} (params_p + params_i).
+This script rebuilds the models and sweeps RD curves at one or more eval
+resolutions — training used 64px crops, so curves at 64px measure the
+trained operating point while 192px (MS-SSIM-capable) probes generalization.
+
+    python experiments/rd_eval.py [--profile tiny] [--crops 64,192]
+
+Writes artifacts/rd_eval.json.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from rd_full import EVAL_QPS, MID_DMC, MID_DMCI, TINY_DMC, TINY_DMCI
+
+
+def main():
+    argv = sys.argv[1:]
+    tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
+    crops = ([int(c) for c in argv[argv.index("--crops") + 1].split(",")]
+             if "--crops" in argv else [64, 192])
+    dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
+
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+    from ssgvc_tpu.data.dataset import SyntheticClipDataset
+    from ssgvc_tpu.training.evaluate import (
+        bd_rate,
+        evaluate_gop_estimated,
+        rd_sweep,
+    )
+    from ssgvc_tpu.training.trainer import Trainer
+    from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+
+    results = {"profile": "tiny" if tiny else "mid", "crops": {}}
+    cfg = TrainConfig()
+    for crop in crops:
+        eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
+                                       crop_size=crop, seed=777)
+        clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
+                 for i in range(6)]
+        per_variant = {}
+        for variant in ("performance", "plain"):
+            path = f"artifacts/rd_ckpt_{variant}"
+            if not os.path.isdir(path):
+                print(f"[skip] no checkpoint at {path}")
+                continue
+            ck = restore_checkpoint(path)
+            tr = Trainer(TrainConfig(dmc_variant=variant), total_iters=10,
+                         dmc_cfg=DMCConfig.variant(variant, **dmc_kw),
+                         dmci_cfg=DMCIConfig(**dmci_kw))
+            index_map = list(cfg.compression.index_map)
+            qp_shift = list(tr.dmc_cfg.qp_shift)
+
+            def eval_qp(qp, _tr=tr, _ck=ck):
+                out = []
+                for frames, masks in clips:
+                    out.extend(evaluate_gop_estimated(
+                        _tr.dmci, _ck["params_i"], _tr.dmc, _ck["params_p"],
+                        frames, masks, qp, index_map, qp_shift))
+                return out
+
+            curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+            per_variant[variant] = curve
+            print(f"[{crop}px {variant}] bpp="
+                  f"{[round(b, 4) for b in curve['bpp']]}")
+            print(f"[{crop}px {variant}] psnr="
+                  f"{[round(p, 2) for p in curve['psnr']]}")
+            print(f"[{crop}px {variant}] roi="
+                  f"{[round(p, 2) for p in curve['roi_psnr']]}", flush=True)
+        if {"performance", "plain"} <= set(per_variant):
+            perf, plain = per_variant["performance"], per_variant["plain"]
+            per_variant["bd_rate_roi_psnr_pct"] = bd_rate(
+                plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+            per_variant["bd_rate_psnr_pct"] = bd_rate(
+                plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+            print(f"[{crop}px] BD-rate ROI {per_variant['bd_rate_roi_psnr_pct']:+.1f}%"
+                  f"  global {per_variant['bd_rate_psnr_pct']:+.1f}%")
+        results["crops"][str(crop)] = per_variant
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/rd_eval.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote artifacts/rd_eval.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,9 @@ def main():
     cfg = TrainConfig()
     for crop in crops:
         eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
-                                       crop_size=crop, seed=777)
+                                       crop_size=crop, seed=777,
+                                       texture="smooth" if "--smooth" in argv
+                                       else "noise")
         clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                  for i in range(6)]
         per_variant = {}

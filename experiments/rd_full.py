@@ -154,12 +154,12 @@ def main():
 
     crop, bs = (64, 4) if tiny else (128, 8)
     train_ds = SyntheticClipDataset(num_clips=512, seq_len=4, crop_size=crop,
-                                    seed=3)
+                                    seed=3, texture="smooth")
     dm = ClipDataModule(train_ds, batch_size=bs, split=(0.95, 0.05, 0.0),
                         seed=3)
     # eval clips: 192 px so MS-SSIM is computed (>=176 px window rule)
     eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4, crop_size=192,
-                                   seed=777)
+                                   seed=777, texture="smooth")
     eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                   for i in range(6)]
 

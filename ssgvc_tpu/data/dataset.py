@@ -146,14 +146,35 @@ class SyntheticClipDataset:
     """
 
     def __init__(self, num_clips: int = 64, seq_len: int = 4,
-                 crop_size: int = 128, seed: int = 0):
+                 crop_size: int = 128, seed: int = 0,
+                 texture: str = "noise"):
         self.num_clips = num_clips
         self.seq_len = seq_len
         self.size = crop_size
         self.seed = seed
+        # 'noise' keeps uniform-noise object textures (hard: incompressible,
+        # reconstruction hits the model's capacity floor so PSNR barely moves
+        # with rate). 'smooth' uses low-frequency gradients + edges —
+        # compressible detail that lets RD curves actually trade and QP
+        # sweeps separate in PSNR.
+        self.texture = texture
 
     def __len__(self):
         return self.num_clips
+
+    def _object_texture(self, g, oh: int, ow: int) -> np.ndarray:
+        if self.texture == "smooth":
+            yy = np.linspace(0, 1, oh, dtype=np.float32)[:, None, None]
+            xx = np.linspace(0, 1, ow, dtype=np.float32)[None, :, None]
+            f = g.uniform(1.0, 4.0, (2, 3)).astype(np.float32)
+            ph = g.uniform(0, 2 * np.pi, (2, 3)).astype(np.float32)
+            tex = (0.5 + 0.25 * np.sin(2 * np.pi * f[0] * yy + ph[0])
+                   + 0.25 * np.sin(2 * np.pi * f[1] * xx + ph[1]))
+            # one sharp edge per object keeps some high-frequency content
+            edge = int(g.integers(1, max(ow - 1, 2)))
+            tex[:, edge:] = np.clip(tex[:, edge:] * 0.5 + 0.25, 0, 1)
+            return np.clip(tex, 0.0, 1.0).astype(np.float32)
+        return g.uniform(0, 1, (oh, ow, 3)).astype(np.float32)
 
     def __getitem__(self, idx: int, rng=None):
         s = self.size
@@ -164,7 +185,7 @@ class SyntheticClipDataset:
         objs = []
         for _ in range(n_obj):
             oh, ow = int(g.integers(s // 8, s // 3)), int(g.integers(s // 8, s // 3))
-            tex = g.uniform(0, 1, (oh, ow, 3)).astype(np.float32)
+            tex = self._object_texture(g, oh, ow)
             x0, y0 = int(g.integers(0, s - ow)), int(g.integers(0, s - oh))
             vx, vy = int(g.integers(-4, 5)), int(g.integers(-4, 5))
             objs.append((tex, x0, y0, vx, vy))

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Continue RD training from saved rd_full checkpoints.
+
+Loads artifacts/rd_ckpt_{variant}, trains each variant for another budget
+slice on the SAME smooth-texture data distribution, saves the checkpoints
+back, and re-runs the RD sweep + BD/monotonicity summary. Lets long RD
+budgets accumulate across sessions instead of restarting from scratch.
+
+    python experiments/rd_continue.py [steps] [--budget-min 120] [--profile tiny]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from rd_full import (
+    EVAL_QPS,
+    MID_DMC,
+    MID_DMCI,
+    TINY_DMC,
+    TINY_DMCI,
+    sample_qp,
+)
+
+
+def main():
+    argv = sys.argv[1:]
+    steps = int(argv[0]) if argv and not argv[0].startswith("-") else 30000
+    budget_min = (float(argv[argv.index("--budget-min") + 1])
+                  if "--budget-min" in argv else 120.0)
+    tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
+    dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
+
+    import time
+
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+    from ssgvc_tpu.data.dataset import ClipDataModule, SyntheticClipDataset
+    from ssgvc_tpu.training.evaluate import (
+        bd_rate,
+        evaluate_gop_estimated,
+        rd_sweep,
+    )
+    from ssgvc_tpu.training.trainer import Trainer
+    from ssgvc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    crop, bs = (64, 4) if tiny else (128, 8)
+    train_ds = SyntheticClipDataset(num_clips=512, seq_len=4, crop_size=crop,
+                                    seed=3, texture="smooth")
+    dm = ClipDataModule(train_ds, batch_size=bs, split=(0.95, 0.05, 0.0),
+                        seed=3)
+    eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4, crop_size=192,
+                                   seed=777, texture="smooth")
+    eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
+                  for i in range(6)]
+
+    results = {"continued_steps": steps, "budget_min": budget_min,
+               "variants": {}}
+    per_variant_s = budget_min * 60.0 / 2
+
+    for variant in ("performance", "plain"):
+        path = f"artifacts/rd_ckpt_{variant}"
+        if not os.path.isdir(path):
+            print(f"[skip] no checkpoint at {path}")
+            continue
+        ck = restore_checkpoint(path)
+        cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
+        cfg.precision = "fp32"
+        cfg.optimizer.base_lr = 3e-4   # continuation: lower LR
+        cfg.optimizer.min_lr = 5e-5
+        cfg.roi_weight = 100.0
+        trainer = Trainer(cfg, total_iters=steps,
+                          dmc_cfg=DMCConfig.variant(variant, **dmc_kw),
+                          dmci_cfg=DMCIConfig(**dmci_kw))
+        it = dm.train_iter()
+        first = next(it)
+        batch0 = {k: jnp.asarray(v) for k, v in first.items()}
+        state = trainer.init_state(jax.random.PRNGKey(1), batch0,
+                                   params_i=ck["params_i"],
+                                   params_p=ck["params_p"])
+        step_fn = trainer.jit_train_step()
+        rng = jax.random.PRNGKey(100)
+        host_rng = np.random.default_rng(101)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            qp = jnp.int32(sample_qp(host_rng))
+            rng, sub = jax.random.split(rng)
+            state, aux = step_fn(state, batch, qp, sub)
+            if i % 250 == 0:
+                print(f"[{variant}+] step {i}: loss {float(aux['loss']):.3f} "
+                      f"bpp {float(aux['bpp']):.4f} "
+                      f"psnr {float(aux['psnr']):.2f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if time.perf_counter() - t0 > per_variant_s:
+                print(f"[{variant}+] budget hit at step {i}")
+                break
+        state = jax.device_get(state)
+        save_checkpoint(path, {"params_p": state.params_p,
+                               "params_i": state.params_i})
+
+        index_map = list(cfg.compression.index_map)
+        qp_shift = list(trainer.dmc_cfg.qp_shift)
+
+        def eval_qp(qp, _tr=trainer, _st=state):
+            out = []
+            for frames, masks in eval_clips:
+                out.extend(evaluate_gop_estimated(
+                    _tr.dmci, _st.params_i, _tr.dmc, _st.params_p,
+                    frames, masks, qp, index_map, qp_shift))
+            return out
+
+        curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+        results["variants"][variant] = {"estimated_rd": curve}
+        print(f"[{variant}+] bpp={[round(b, 4) for b in curve['bpp']]}")
+        print(f"[{variant}+] psnr={[round(p, 2) for p in curve['psnr']]}")
+        print(f"[{variant}+] roi={[round(p, 2) for p in curve['roi_psnr']]}",
+              flush=True)
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/rd_continued.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    if {"performance", "plain"} <= set(results["variants"]):
+        perf = results["variants"]["performance"]["estimated_rd"]
+        plain = results["variants"]["plain"]["estimated_rd"]
+        results["bd_rate_roi_psnr_pct"] = bd_rate(
+            plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+        for v, c in results["variants"].items():
+            bpps = c["estimated_rd"]["bpp"]
+            c["bpp_monotone_increasing_in_qp"] = all(
+                bpps[i] < bpps[i + 1] for i in range(len(bpps) - 1))
+        with open("artifacts/rd_continued.json", "w") as f:
+            json.dump(results, f, indent=2)
+    print("wrote artifacts/rd_continued.json")
+
+
+if __name__ == "__main__":
+    main()

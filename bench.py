@@ -41,7 +41,7 @@ def _require_backend(timeout_s: int = 180):
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True, capture_output=True)
+            timeout=timeout_s, check=True, capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         raise TimeoutError(f"backend init exceeded {timeout_s}s")
     except subprocess.CalledProcessError as e:

@@ -129,11 +129,14 @@ class VideoCodec:
 
     # ================================================================= DMC =
 
-    @functools.partial(jax.jit, static_argnums=(0, 7))
-    def _dmc_analysis(self, params, x, mask, qp, ctx, ctx_t, after_i: bool):
-        """Encoder-only transform: source frame -> (y, z_int8, mask_out).
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _dmc_analysis(self, params, x, mask, qp, ctx, ctx_t):
+        """Encoder-only transform: source frame -> (y, z_int8).
         Takes (ctx, ctx_t) from ``_dmc_fe`` so the FeatureExtractor runs
-        exactly once per encoded frame."""
+        exactly once per encoded frame. ``mask`` must already be the CURRENT
+        frame's mask — for mask_prop the caller runs ``_dmc_predict_mask``
+        first, so encoder and decoder derive the mask chain from the SAME
+        jitted program (bit-identical chains by construction)."""
         m = self.dmc
         c = m.cfg
 
@@ -141,17 +144,14 @@ class VideoCodec:
             q_encoder = jnp.take(mod.q_encoder, qp, axis=0).reshape(1, 1, 1, -1)
             y = mod.encoder(x, ctx, q_encoder)
 
-            current_mask = mask
-            if c.mask_source == "propagated" and not after_i:
-                current_mask = mod.mask_predictor(mask, ctx, ctx_t)
             if c.mask_mode == "sft_latent":
                 q_sft = jnp.take(mod.q_sft, qp, axis=0).reshape(1, 1, 1, -1)
-                gamma, beta = mod.mask_sft(current_mask, q_sft)
+                gamma, beta = mod.mask_sft(mask, q_sft)
                 y = y * (1.0 + gamma) + beta
 
-            z = mod.hyper_encoder(mod._hyper_input(y, current_mask))
+            z = mod.hyper_encoder(mod._hyper_input(y, mask))
             z_int8 = jnp.clip(jnp.round(z), -128, 127).astype(jnp.int8)
-            return {"y": y, "z_int8": z_int8, "mask_out": current_mask}
+            return {"y": y, "z_int8": z_int8}
 
         return m.apply({"params": params}, method=run)
 
@@ -186,7 +186,11 @@ class VideoCodec:
             idx0 = self._build_idx(folded)
             out = {"params3": params3, "idx0": idx0}
             if self.skip_thres > 0:
-                out["keep0"] = folded > self.skip_thres
+                # Clamp before the skip test, matching build_index_dec
+                # (src/layers/inference.py): the reference clamps scales to
+                # [scale_min, scale_max] and only then compares to skip_thres.
+                out["keep0"] = jnp.clip(
+                    folded, self.scale_min, self.scale_max) > self.skip_thres
             return out
 
         return m.apply({"params": params}, method=run)
@@ -232,7 +236,10 @@ class VideoCodec:
             out = {"y_hat_0": y_hat_0, "means1": means1, "idx1": idx1,
                    "q_dec": jnp.maximum(q_dec, 0.5)}
             if self.skip_thres > 0:
-                out["keep1"] = folded > self.skip_thres
+                # Clamp-then-test to match reference skip semantics (see
+                # _dmc_prior / src/layers/inference.py build_index_dec).
+                out["keep1"] = jnp.clip(
+                    folded, self.scale_min, self.scale_max) > self.skip_thres
             return out
 
         return m.apply({"params": params}, method=run)
@@ -273,8 +280,14 @@ class VideoCodec:
         skip = self.skip_thres > 0
 
         fe = self._dmc_fe(self.params_p, qp_j, dpb, after_i)
-        ana = self._dmc_analysis(self.params_p, x, mask, qp_j,
-                                 fe["ctx"], fe["ctx_t"], after_i)
+        mask_out = mask
+        if self.dmc.cfg.mask_source == "propagated" and not after_i:
+            # Same jitted program the decoder runs (_dmc_predict_mask), so
+            # both sides' mask chains are identical XLA executions.
+            mask_out = self._dmc_predict_mask(self.params_p, mask,
+                                              fe["ctx"], fe["ctx_t"])
+        ana = self._dmc_analysis(self.params_p, x, mask_out, qp_j,
+                                 fe["ctx"], fe["ctx_t"])
         z_int8 = np.asarray(ana["z_int8"])
         z_hat = jnp.asarray(z_int8.astype(np.float32))
 
@@ -315,7 +328,7 @@ class VideoCodec:
         self.enc_time = time.perf_counter() - t0
         return {"bit_stream": stream, "x_hat": cres["x_hat"],
                 "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]},
-                "mask_out": ana["mask_out"]}
+                "mask_out": mask_out}
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _dmc_predict_mask(self, params, prev_mask, ctx, ctx_t):

@@ -28,6 +28,12 @@ class DMCIConfig:
     z_channel: int = 128
     qp_num: int = 64
     dtype: str = "float32"  # computation dtype: float32 | bfloat16
+    # Geometric QP ramp for the per-QP gain tables at INIT. The reference
+    # initializes them to ones (src/models/video_model.py:201-202) because it
+    # always finetunes from DCVC-RT checkpoints whose tables already encode
+    # the rate ladder; training from scratch with ones gives a flat RD
+    # response for a long time. Checkpoint import overwrites these either way.
+    qp_ramp_init: bool = True
 
     @staticmethod
     def tiny() -> "DMCIConfig":
@@ -64,6 +70,9 @@ class DMCConfig:
     # Not supported with mask_source='propagated' (its bilinear mask resize
     # is defined on raw-resolution masks).
     packed_io: bool = False
+    # Geometric QP ramp for q_encoder/q_decoder at INIT (see DMCIConfig.
+    # qp_ramp_init — same rationale; from-scratch variable-rate training).
+    qp_ramp_init: bool = True
 
     @staticmethod
     def variant(name: str, **kw) -> "DMCConfig":

@@ -136,6 +136,10 @@ class Vimeo90kMP4Dataset:
         if self.crop_size:
             c = self.crop_size
             t_, h, w, _ = frames.shape
+            if h < c or w < c:
+                raise ValueError(
+                    f"clip {self.paths[idx]} is {h}x{w}, smaller than "
+                    f"crop_size={c}; resize the video or lower crop_size")
             top = int(rng.integers(0, max(h - c, 0) + 1))
             left = int(rng.integers(0, max(w - c, 0) + 1))
             frames = frames[:, top:top + c, left:left + c]

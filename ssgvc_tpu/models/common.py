@@ -24,6 +24,24 @@ from ..layers.quant import noise_quant, ste_round
 # checkerboard masks (src/models/common_model.py:92-169)
 # ---------------------------------------------------------------------------
 
+def qp_gain_ramp_init(lo: float = 0.3, hi: float = 4.0,
+                      inverse: bool = False):
+    """Initializer for per-QP gain tables of shape (qp_total, C): a
+    geometric ramp from ``lo`` (qp 0) to ``hi`` (last row), constant across
+    channels. Higher qp -> larger encoder gain -> larger latent magnitude ->
+    more bits, matching lambda(qp) rising 50 -> 38400, so the variable-rate
+    ladder exists at step 0 of a from-scratch run. The reference inits ones
+    (src/models/video_model.py:201-202) and relies on DCVC-RT pretrained
+    tables; checkpoint import overwrites this init either way."""
+    def init(key, shape, dtype=jnp.float32):
+        ramp = jnp.exp(jnp.linspace(jnp.log(lo), jnp.log(hi), shape[0]))
+        if inverse:
+            ramp = 1.0 / ramp
+        return jnp.broadcast_to(ramp[:, None], shape).astype(dtype)
+
+    return init
+
+
 def _parity_grids(height: int, width: int, channel: int):
     """On-device (H, W, C) index parities. Generated with broadcasted_iota so
     no multi-MB mask constants get baked into the HLO (which stalls

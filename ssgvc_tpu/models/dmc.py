@@ -43,7 +43,8 @@ from ..layers.blocks import (
     wsilu,
 )
 from ..layers.quant import noise_quant, ste_round
-from .common import bpp_from_bits, compress_prior_2x, pad_for_y
+from .common import (bpp_from_bits, compress_prior_2x, pad_for_y,
+                     qp_gain_ramp_init)
 from .entropy import BitEstimator, gaussian_bits, gaussian_bits_cdf
 
 
@@ -325,9 +326,13 @@ class DMC(nn.Module):
         if c.mask_source == "propagated":
             self.mask_predictor = MaskPredictor(c, dtype=dt)
 
-        self.q_encoder = self.param("q_encoder", nn.initializers.ones,
+        enc_init = (qp_gain_ramp_init() if c.qp_ramp_init
+                    else nn.initializers.ones)
+        dec_init = (qp_gain_ramp_init(inverse=True) if c.qp_ramp_init
+                    else nn.initializers.ones)
+        self.q_encoder = self.param("q_encoder", enc_init,
                                     (qp_total, c.ch_d))
-        self.q_decoder = self.param("q_decoder", nn.initializers.ones,
+        self.q_decoder = self.param("q_decoder", dec_init,
                                     (qp_total, c.ch_d))
         self.q_feature = self.param("q_feature", nn.initializers.ones,
                                     (qp_total, c.ch_d))

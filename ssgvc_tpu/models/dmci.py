@@ -30,7 +30,8 @@ from ..layers.blocks import (
 )
 from ..layers.quant import noise_quant, ste_round
 from ..ops.pixel import pixel_shuffle
-from .common import bpp_from_bits, compress_prior_4x, pad_for_y
+from .common import (bpp_from_bits, compress_prior_4x, pad_for_y,
+                     qp_gain_ramp_init)
 from .entropy import BitEstimator, gaussian_bits_cdf
 
 
@@ -103,10 +104,14 @@ class DMCI(nn.Module):
         self.y_spatial_prior_2 = DepthConvBlock(c.N * 2, dtype=dt)
         self.y_spatial_prior_3 = conv(c.N * 2, 1, dtype=dt)
         self.dec = IntraDecoder(c, dtype=dt)
+        enc_init = (qp_gain_ramp_init() if c.qp_ramp_init
+                    else nn.initializers.ones)
+        dec_init = (qp_gain_ramp_init(inverse=True) if c.qp_ramp_init
+                    else nn.initializers.ones)
         self.q_scale_enc = self.param(
-            "q_scale_enc", nn.initializers.ones, (c.qp_num, c.enc_dec))
+            "q_scale_enc", enc_init, (c.qp_num, c.enc_dec))
         self.q_scale_dec = self.param(
-            "q_scale_dec", nn.initializers.ones, (c.qp_num, c.enc_dec))
+            "q_scale_dec", dec_init, (c.qp_num, c.enc_dec))
         self.bit_estimator_z = BitEstimator(c.qp_num, c.z_channel)
 
     def hyper_enc(self, x):

@@ -112,8 +112,11 @@ def _frame_metrics(frame_type: str, bpp: float, ref_ycbcr, rec_ycbcr, mask,
         "bpp": float(bpp),
         "psnr": calc_psnr(ref_rgb, rec_rgb),
         "roi_psnr": _roi_psnr(ref_rgb, rec_rgb, np.asarray(mask)),
+        # calc_msssim falls back to 4-level HM weights below 176px and
+        # rejects (<88px) like the reference asserts; emit None rather than a
+        # fake number when it genuinely can't be computed.
         "msssim": calc_msssim_rgb(ref_rgb, rec_rgb)
-        if min(ref_rgb.shape[:2]) >= 176 else 0.0,
+        if min(ref_rgb.shape[:2]) >= 88 else None,
         "enc_time": enc_time,
         "dec_time": dec_time,
     }
@@ -130,8 +133,8 @@ def rd_sweep(eval_fn, qps: Sequence[int]) -> Dict[str, List[float]]:
         curve["psnr"].append(float(np.mean([r["psnr"] for r in p_frames])))
         curve["roi_psnr"].append(
             float(np.mean([r["roi_psnr"] for r in p_frames])))
-        curve["msssim"].append(
-            float(np.mean([r["msssim"] for r in p_frames])))
+        ms = [r["msssim"] for r in p_frames if r["msssim"] is not None]
+        curve["msssim"].append(float(np.mean(ms)) if ms else None)
     return curve
 
 

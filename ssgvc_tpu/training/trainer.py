@@ -336,9 +336,26 @@ class Trainer:
         if self.cfg.constraint_opt:
             alm_h_accum = alm_h_accum + aux["g_mean"]
             alm_h_count = alm_h_count + 1.0
-            alm_mu, alm_h_accum, alm_h_count = alm_dual_update(
-                alm_mu, alm_h_accum, alm_h_count, self.cfg.lagr_rho,
-                mu_max=self.cfg.lagr_lambda_max)
+
+            def _dual(args):
+                return alm_dual_update(*args, self.cfg.lagr_rho,
+                                       mu_max=self.cfg.lagr_lambda_max)
+
+            acc = self.cfg.accumulation_steps or 1
+            if acc > 1:
+                # With grad accumulation the optimizer only applies every k
+                # micro-batches (optax.MultiSteps); the reference's dual
+                # ascent runs per OPTIMIZER step, so gate the mu update on
+                # the same boundary (mini_step wraps to 0 right after an
+                # apply). Between boundaries g_mean keeps accumulating, so
+                # one dual step still sees every micro-batch's constraint.
+                at_boundary = opt_state.mini_step == 0
+                alm_mu, alm_h_accum, alm_h_count = jax.lax.cond(
+                    at_boundary, _dual, lambda args: args,
+                    (alm_mu, alm_h_accum, alm_h_count))
+            else:
+                alm_mu, alm_h_accum, alm_h_count = _dual(
+                    (alm_mu, alm_h_accum, alm_h_count))
 
         return (params_p, opt_state, step + 1, alm_mu, alm_h_accum,
                 alm_h_count), aux

@@ -10,6 +10,9 @@ from __future__ import annotations
 import numpy as np
 
 MSSSIM_WEIGHTS = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+# HM-implementation 4-level weights used below 176px (the 5th level's 11x11
+# window would not fit after four 2x downsamples) — src/utils/metrics.py:46-52.
+MSSSIM_WEIGHTS_SMALL = np.array([0.0517, 0.3295, 0.3462, 0.2726])
 
 
 def calc_psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
@@ -56,8 +59,19 @@ def calc_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0):
 
 
 def calc_msssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
-    """5-level MS-SSIM of one 2-D plane, 2x average-pool between levels."""
-    levels = len(MSSSIM_WEIGHTS)
+    """MS-SSIM of one 2-D plane, 2x average-pool between levels.
+
+    5 levels with the standard weights at >=176px; below that, 4 levels with
+    the HM-implementation weights (src/utils/metrics.py:43-51). Planes below
+    88px are rejected, matching the reference's assert.
+    """
+    h0, w0 = a.shape
+    if h0 < 88 or w0 < 88:
+        raise ValueError(
+            f"MS-SSIM needs planes >=88px on each side, got {h0}x{w0}")
+    weights = (MSSSIM_WEIGHTS if h0 >= 176 and w0 >= 176
+               else MSSSIM_WEIGHTS_SMALL)
+    levels = len(weights)
     vals = []
     for i in range(levels):
         ssim, cs = calc_ssim(a, b, data_range)
@@ -67,7 +81,7 @@ def calc_msssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
             a = a[:h, :w].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
             b = b[:h, :w].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
     vals = np.clip(np.asarray(vals), 1e-7, None)
-    return float(np.prod(vals ** MSSSIM_WEIGHTS))
+    return float(np.prod(vals ** weights))
 
 
 def calc_msssim_rgb(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:

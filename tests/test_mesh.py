@@ -37,6 +37,57 @@ def test_maybe_init_distributed_noop_single_process(monkeypatch):
     assert mesh_mod.make_mesh().devices.size >= 1
 
 
+@pytest.mark.slow
+def test_two_process_data_parallel_step():
+    """Launch TWO real processes that discover each other through the
+    coordinator env, span one 4-device mesh, and run one SPMD train step —
+    proving maybe_init_distributed + shard_batch's process-local branch are
+    live code (reference counterpart: multi-node DDP, /root/reference/lrz.md).
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}  # never dial the TPU relay
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outs, losses = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        line = [ln for ln in out.splitlines() if ln.startswith("DIST_OK")]
+        assert line, f"no DIST_OK in worker output:\n{out}"
+        losses.append(float(line[0].split("loss=")[1]))
+    # SPMD: both processes computed the same global loss
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
 def test_replicated_sharding():
     m = mesh_mod.make_mesh()
     sh = mesh_mod.replicated(m)

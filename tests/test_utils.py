@@ -88,6 +88,21 @@ def test_msssim_matches_reference():
     ref = ref_msssim(a, b, data_range=1.0)
     ours = calc_msssim(a, b, data_range=1.0)
     assert ours == pytest.approx(ref, abs=2e-3)
+    # below 176px the reference switches to 4-level HM weights
+    # (src/utils/metrics.py:46-52) — the rebuild must track it
+    a_s, b_s = a[:128, :128], b[:128, :128]
+    assert calc_msssim(a_s, b_s, data_range=1.0) == pytest.approx(
+        ref_msssim(a_s, b_s, data_range=1.0), abs=2e-3)
+
+
+def test_msssim_small_plane_fallback():
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 1, (128, 128))
+    b = np.clip(a + rng.normal(0, 0.03, a.shape), 0, 1)
+    ms = calc_msssim(a, b)
+    assert 0 < ms < 1
+    with pytest.raises(ValueError, match="88px"):
+        calc_msssim(a[:64, :64], b[:64, :64])
 
 
 def test_weighted_mse_torch_semantics():

@@ -32,6 +32,10 @@ def main():
     n_frames = int(args[0]) if args and not args[0].startswith("-") else 9
     ec_part = 1 if "--ec-part" in args else 0
     skip = float(args[args.index("--skip") + 1]) if "--skip" in args else 0.0
+    json_path = (args[args.index("--json") + 1]
+                 if "--json" in args else None)
+    label = (args[args.index("--label") + 1] if "--label" in args
+             else f"ec_part={ec_part},skip={skip}")
 
     from ssgvc_tpu.config import DMCConfig, DMCIConfig
     from ssgvc_tpu.models.dmc import DMC
@@ -109,6 +113,31 @@ def main():
     print(f"  I-frame {i_bits}B; P-frames median {int(np.median(p_bits))}B "
           f"({np.median(p_bits) * 8 / (h * w):.4f} bpp)")
     print(f"  decoder bit-exact vs encoder recon: {exact}")
+
+    if json_path:
+        import json
+        entry = {
+            "backend": jax.default_backend(),
+            "n_p_frames": n_frames - 1,
+            "ec_part": ec_part, "skip_thres": skip,
+            "enc_ms_per_frame": round(enc_ms, 2),
+            "enc_fps": round(1e3 / enc_ms, 2),
+            "dec_ms_per_frame": round(dec_ms, 2),
+            "dec_fps": round(1e3 / dec_ms, 2),
+            "i_frame_bytes": i_bits,
+            "p_frame_bytes_median": int(np.median(p_bits)),
+            "p_bpp_median": round(float(np.median(p_bits)) * 8 / (h * w), 4),
+            "bit_exact": bool(exact),
+        }
+        data = {}
+        if os.path.exists(json_path):
+            with open(json_path) as f:
+                data = json.load(f)
+        data[label] = entry
+        os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+        with open(json_path, "w") as f:
+            json.dump(data, f, indent=2)
+        print(f"wrote {json_path} [{label}]")
 
 
 if __name__ == "__main__":

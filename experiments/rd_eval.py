@@ -72,6 +72,32 @@ def main():
                 return out
 
             curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+
+            # estimate-vs-real bpp gap per QP (VERDICT r2: track the gap so
+            # shrinkage with training is demonstrable, not asserted). Only at
+            # the smallest crop — the codec jits per resolution and the gap
+            # is resolution-independent to first order.
+            if crop == min(crops):
+                from ssgvc_tpu.coding.codec import VideoCodec
+                from ssgvc_tpu.training.evaluate import evaluate_gop_coded
+                codec = VideoCodec(tr.dmci, ck["params_i"], tr.dmc,
+                                   ck["params_p"])
+                gaps = {}
+                for qi, qp in enumerate(EVAL_QPS):
+                    frames, masks = clips[0]
+                    coded = evaluate_gop_coded(codec, frames, masks, qp=qp,
+                                               index_map=index_map,
+                                               qp_shift=qp_shift)
+                    real = float(np.mean([r["bpp"] for r in coded
+                                          if r["frame_type"] == "P"]))
+                    est = curve["bpp"][qi]
+                    gaps[qp] = {"estimated": est, "real": real,
+                                "gap_pct": round(100.0 * (real - est)
+                                                 / max(est, 1e-9), 1)}
+                curve["est_vs_real_bpp"] = gaps
+                print(f"[{crop}px {variant}] est-vs-real gap%: "
+                      f"{[gaps[q]['gap_pct'] for q in EVAL_QPS]}")
+
             per_variant[variant] = curve
             print(f"[{crop}px {variant}] bpp="
                   f"{[round(b, 4) for b in curve['bpp']]}")

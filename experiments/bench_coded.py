@@ -34,8 +34,9 @@ def main():
     skip = float(args[args.index("--skip") + 1]) if "--skip" in args else 0.0
     json_path = (args[args.index("--json") + 1]
                  if "--json" in args else None)
+    packed = "--packed" in args  # same packed_io fast path as bench.py
     label = (args[args.index("--label") + 1] if "--label" in args
-             else f"ec_part={ec_part},skip={skip}")
+             else f"ec_part={ec_part},skip={skip},packed={int(packed)}")
 
     from ssgvc_tpu.config import DMCConfig, DMCIConfig
     from ssgvc_tpu.models.dmc import DMC
@@ -57,7 +58,8 @@ def main():
     print(f"[init] params in {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    codec = VideoCodec(dmci, pi, dmc, pp, ec_part=ec_part, skip_thres=skip)
+    codec = VideoCodec(dmci, pi, dmc, pp, ec_part=ec_part, skip_thres=skip,
+                       packed_dmc=packed)
     print(f"[init] CDF tables in {time.perf_counter() - t0:.1f}s", flush=True)
 
     rngn = np.random.default_rng(1)
@@ -119,7 +121,7 @@ def main():
         entry = {
             "backend": jax.default_backend(),
             "n_p_frames": n_frames - 1,
-            "ec_part": ec_part, "skip_thres": skip,
+            "ec_part": ec_part, "skip_thres": skip, "packed_dmc": packed,
             "enc_ms_per_frame": round(enc_ms, 2),
             "enc_fps": round(1e3 / enc_ms, 2),
             "dec_ms_per_frame": round(dec_ms, 2),

@@ -75,6 +75,7 @@ def main():
         cfg.optimizer.base_lr = 3e-4   # continuation: lower LR
         cfg.optimizer.min_lr = 5e-5
         cfg.roi_weight = 100.0
+        cfg.lambda_normalize = "--lnorm" in argv
         trainer = Trainer(cfg, total_iters=steps,
                           dmc_cfg=DMCConfig.variant(variant, **dmc_kw),
                           dmci_cfg=DMCIConfig(**dmci_kw))

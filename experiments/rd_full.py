@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 EVAL_QPS = [8, 20, 32, 44, 56]
+LNORM = False  # --lnorm: lambda-normalized RD loss (see loss.py)
 MID_DMC = dict(ch_d=64, ch_y=32, ch_z=32, ch_recon=96)
 MID_DMCI = dict(enc_dec=96, N=64, z_channel=32)
 # CPU-runnable fallback profile (the 1-core host can train this at ~2-4
@@ -66,7 +67,10 @@ def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17):
                               rngs={"noise": rng})
             mse = jnp.mean((out["dpb"]["frame"].astype(jnp.float32) - x) ** 2)
             lam = compute_lambda(qp, 50.0, 38400.0)
-            return jnp.mean(out["bpp"]) + lam * mse, (mse, jnp.mean(out["bpp"]))
+            loss = jnp.mean(out["bpp"]) + lam * mse
+            if LNORM:
+                loss = loss / lam
+            return loss, (mse, jnp.mean(out["bpp"]))
 
         grads, (mse, bpp) = jax.grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
@@ -101,6 +105,7 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
     cfg.optimizer.base_lr = 7e-4
     cfg.optimizer.min_lr = 5e-5
     cfg.roi_weight = 100.0
+    cfg.lambda_normalize = LNORM
     trainer = Trainer(
         cfg, total_iters=steps,
         dmc_cfg=DMCConfig.variant(variant, **MID_DMC),
@@ -132,8 +137,9 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
 
 
 def main():
-    global MID_DMC, MID_DMCI
+    global MID_DMC, MID_DMCI, LNORM
     argv = sys.argv[1:]
+    LNORM = "--lnorm" in argv
     steps = int(argv[0]) if argv and not argv[0].startswith("-") else 12000
     budget_min = (float(argv[argv.index("--budget-min") + 1])
                   if "--budget-min" in argv else 120.0)
@@ -164,6 +170,7 @@ def main():
                   for i in range(6)]
 
     results = {"steps": steps, "budget_min": budget_min,
+               "lambda_normalize": LNORM,
                "model": {"dmc": MID_DMC, "dmci": MID_DMCI}, "variants": {}}
 
     def _save_partial():

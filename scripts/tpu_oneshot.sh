@@ -44,5 +44,8 @@ STEP_TIMEOUT=1800 step bench_coded_skip python experiments/bench_coded.py \
   --skip 0.12 --json artifacts/bench_coded.json --label skip0.12 || true
 STEP_TIMEOUT=1800 step bench_coded_ecpart python experiments/bench_coded.py \
   --ec-part --json artifacts/bench_coded.json --label ec_part || true
+STEP_TIMEOUT=1800 step bench_coded_packed python experiments/bench_coded.py \
+  --packed --skip 0.12 --json artifacts/bench_coded.json \
+  --label packed_skip0.12 || true
 
 echo "one-shot complete; logs in $OUT"

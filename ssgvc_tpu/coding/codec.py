@@ -33,6 +33,7 @@ import numpy as np
 from ..models import common
 from ..models.dmc import DMC
 from ..models.dmci import DMCI
+from ..ops.pixel import pixel_shuffle, pixel_unshuffle
 from . import cdf as cdf_mod
 from .rans import EntropyCoder
 
@@ -74,11 +75,23 @@ class VideoCodec:
 
     ``coder_profile``: None keeps the RT-style 128-level 0.11-16 Gaussian
     table; 'gaussian' / 'laplace' select the refactor GaussianEncoder's wide
-    256-level tables (src/refactor/entropy_models.py:220-243)."""
+    256-level tables (src/refactor/entropy_models.py:220-243).
+
+    ``packed_dmc`` runs the P-frame stages in the PACKED (pixel-unshuffled)
+    domain — the same ``DMCConfig.packed_io`` fast path the forward bench
+    measures, with identical params (the 8x8 patching is a lossless
+    permutation). Frames still enter and leave this API raw; the (un)shuffle
+    happens inside the jitted stages, and the DPB carries the packed frame
+    between P-frames so the hot loop never materializes raw-domain layout
+    copies. Incompatible with mask_prop (raw-resolution mask resize)."""
 
     def __init__(self, dmci: DMCI, dmci_params, dmc: DMC, dmc_params,
                  scale_levels: int = 128, ec_part: int = 0,
-                 skip_thres: float = 0.0, coder_profile: str = None):
+                 skip_thres: float = 0.0, coder_profile: str = None,
+                 packed_dmc: bool = False):
+        if packed_dmc and not dmc.cfg.packed_io:
+            import dataclasses
+            dmc = DMC(dataclasses.replace(dmc.cfg, packed_io=True))
         self.dmci = dmci
         self.dmc = dmc
         self.params_i = dmci_params
@@ -141,6 +154,11 @@ class VideoCodec:
         c = m.cfg
 
         def run(mod):
+            nonlocal x, mask
+            if c.packed_io:
+                # raw API, packed hot path: unshuffle fuses into this stage
+                x = pixel_unshuffle(x, c.patch_size)
+                mask = pixel_unshuffle(mask, c.patch_size)
             q_encoder = jnp.take(mod.q_encoder, qp, axis=0).reshape(1, 1, 1, -1)
             y = mod.encoder(x, ctx, q_encoder)
 
@@ -164,8 +182,13 @@ class VideoCodec:
         m = self.dmc
 
         def run(mod):
+            d = dpb
+            if m.cfg.packed_io and d["frame"].shape[-1] == 3:
+                # raw I-frame recon entering the packed P-loop: pack once
+                d = dict(d, frame=pixel_unshuffle(d["frame"],
+                                                  m.cfg.patch_size))
             q_feature = jnp.take(mod.q_feature, qp, axis=0).reshape(1, 1, 1, -1)
-            feature = mod.apply_feature_adaptor(dpb, after_i)
+            feature = mod.apply_feature_adaptor(d, after_i)
             x1, ctx_t = mod.feature_extractor.part1(feature, q_feature)
             ctx = mod.feature_extractor.part2(x1)
             return {"ctx_t": ctx_t, "ctx": ctx}
@@ -258,7 +281,12 @@ class VideoCodec:
             q_recon = jnp.take(mod.q_recon, qp, axis=0).reshape(1, 1, 1, -1)
             feature = mod.decoder(y_hat, ctx, q_decoder)
             x_hat = mod.recon_generation_net(feature, q_recon)
-            return {"x_hat": x_hat, "feature": feature}
+            if mod.cfg.packed_io:
+                # DPB keeps the packed frame (the next P-frame's adaptor
+                # consumes it directly); the API returns the raw frame
+                return {"x_hat": pixel_shuffle(x_hat, mod.cfg.patch_size),
+                        "frame_dpb": x_hat, "feature": feature}
+            return {"x_hat": x_hat, "frame_dpb": x_hat, "feature": feature}
 
         return m.apply({"params": params}, method=run)
 
@@ -327,7 +355,7 @@ class VideoCodec:
         stream = self.ec_p.get_encoded_stream()
         self.enc_time = time.perf_counter() - t0
         return {"bit_stream": stream, "x_hat": cres["x_hat"],
-                "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]},
+                "dpb": {"frame": cres["frame_dpb"], "feature": cres["feature"]},
                 "mask_out": mask_out}
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -390,7 +418,7 @@ class VideoCodec:
                                  y_q_r1, b["q_dec"], qp_j, fe["ctx"])
         self.dec_time = time.perf_counter() - t0
         return {"x_hat": cres["x_hat"],
-                "dpb": {"frame": cres["x_hat"], "feature": cres["feature"]},
+                "dpb": {"frame": cres["frame_dpb"], "feature": cres["feature"]},
                 "mask_out": mask_out}
 
     # ================================================================ DMCI =

@@ -162,6 +162,10 @@ class TrainConfig:
     constraint_opt: bool = False
     mask_train: bool = False
     roi_weight: float = 100.0         # ROI MSE weight (1 + w*mask)
+    # divide the RD loss by lambda(qp): same per-QP optimum, balanced
+    # gradients across mixed-QP batches (from-scratch recipe knob; the
+    # reference finetunes pretrained weights and never needs it)
+    lambda_normalize: bool = False
 
     exp_name: str = "video-compression-waymo"
     model_profile: str = "full"       # full | tiny (CI/smoke runs)

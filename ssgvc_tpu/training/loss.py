@@ -43,9 +43,17 @@ def rate_distortion_loss(results: dict, target: jnp.ndarray, qp,
                          w_t, lambda_min: float, lambda_max: float,
                          q_levels: int = 64,
                          mask: Optional[jnp.ndarray] = None,
-                         roi_weight: float = 100.0) -> RDLoss:
+                         roi_weight: float = 100.0,
+                         lambda_normalize: bool = False) -> RDLoss:
     """loss = bpp_y + bpp_z + w_t * lambda(qp) * wMSE(1 + roi_weight*m)
-    (trainer_seg_video_model.py:904-934). mask is (B, H, W, 1) binary."""
+    (trainer_seg_video_model.py:904-934). mask is (B, H, W, 1) binary.
+
+    ``lambda_normalize`` divides the whole loss by lambda(qp):
+    mathematically the same per-QP optimum (positive rescaling), but the
+    per-sample gradient magnitude no longer spans the 768x lambda range, so
+    mixed-QP batches train all rate points instead of effectively only the
+    highest-lambda samples. A from-scratch recipe knob — the reference
+    finetunes pretrained weights at small lr and never needs it."""
     bpp = jnp.mean(results["bpp"])
     bpp_y = jnp.mean(results["bpp_y"])
     bpp_z = jnp.mean(results["bpp_z"])
@@ -64,6 +72,8 @@ def rate_distortion_loss(results: dict, target: jnp.ndarray, qp,
 
     lam = compute_lambda(qp, lambda_min, lambda_max, q_levels)
     loss = bpp_y + bpp_z + w_t * lam * mse
+    if lambda_normalize:
+        loss = loss / lam
     return RDLoss(loss, bpp, bpp_y, bpp_z, mse, plain_mse)
 
 

@@ -251,7 +251,8 @@ class Trainer:
                 rd = rate_distortion_loss(out, frame, qp, w_t,
                                           comp.lambda_min, comp.lambda_max,
                                           comp.q_levels, mask=gt_mask,
-                                          roi_weight=cfg.roi_weight)
+                                          roi_weight=cfg.roi_weight,
+                                          lambda_normalize=cfg.lambda_normalize)
                 g = jnp.zeros(())
 
             loss = rd.loss

@@ -118,6 +118,44 @@ def test_dmc_round_trip_gop(codec):
         dpb_d = out["dpb"]
 
 
+def test_packed_dmc_round_trip(codec):
+    """packed_dmc=True runs the P-loop in the pixel-unshuffled domain with
+    the SAME params (the bench fast path); the raw API is unchanged and the
+    GOP stays bit-exact encoder-vs-decoder, including across the raw-I ->
+    packed-P DPB handoff."""
+    packed = VideoCodec(codec.dmci, codec.params_i, codec.dmc,
+                        codec.params_p, packed_dmc=True)
+    assert packed.dmc.cfg.packed_io
+    rng = np.random.default_rng(7)
+    frames = [jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+              for _ in range(3)]
+    mask = jnp.asarray((rng.uniform(0, 1, (1, 64, 64, 1)) > 0.6)
+                       .astype(np.float32))
+    qp = 24
+
+    enc_i = packed.dmci_compress(frames[0], qp)
+    dec_i = packed.dmci_decompress(enc_i["bit_stream"], 64, 64, qp)
+    feat0 = jnp.zeros((1, 8, 8, TINY["ch_d"]), jnp.float32)
+    dpb_e = {"frame": enc_i["x_hat"], "feature": feat0}
+    dpb_d = {"frame": dec_i["x_hat"], "feature": feat0}
+
+    streams, recons = [], []
+    for t in range(1, 3):
+        out = packed.dmc_compress(frames[t], qp, dpb_e, after_i=(t == 1),
+                                  mask=mask)
+        assert out["x_hat"].shape == (1, 64, 64, 3)   # raw API out
+        assert out["dpb"]["frame"].shape[-1] == 192   # packed DPB carry
+        streams.append(out["bit_stream"])
+        recons.append(np.asarray(out["x_hat"]))
+        dpb_e = out["dpb"]
+    for t in range(1, 3):
+        out = packed.dmc_decompress(streams[t - 1], 64, 64, qp, dpb_d,
+                                    after_i=(t == 1))
+        np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                      recons[t - 1])
+        dpb_d = out["dpb"]
+
+
 def test_dmc_bitrate_sane(codec):
     """Stream size responds to qp and content (not constant/degenerate)."""
     rng = np.random.default_rng(3)

@@ -140,6 +140,45 @@ def test_rd_loss_mask_weighting():
     assert float(rd1.mse) != pytest.approx(float(rd1.prev_obj), rel=1e-3)
 
 
+def test_rd_loss_lambda_normalize():
+    """lambda_normalize divides the whole loss by lambda(qp) — a positive
+    rescaling (same per-QP optimum, balanced gradient scale)."""
+    from ssgvc_tpu.training.loss import compute_lambda
+
+    rng = np.random.default_rng(6)
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 3)), jnp.float32)
+    results = {"bpp": jnp.asarray([0.1]), "bpp_y": jnp.asarray([0.08]),
+               "bpp_z": jnp.asarray([0.02]), "dpb": {"frame": pred}}
+    for qp in (0, 32, 63):
+        base = rate_distortion_loss(results, tgt, qp, 1.0, 50.0, 38400.0)
+        norm = rate_distortion_loss(results, tgt, qp, 1.0, 50.0, 38400.0,
+                                    lambda_normalize=True)
+        lam = float(compute_lambda(qp, 50.0, 38400.0))
+        assert float(norm.loss) == pytest.approx(float(base.loss) / lam,
+                                                 rel=1e-5)
+        # metrics other than the loss are unscaled
+        assert float(norm.bpp) == pytest.approx(float(base.bpp), rel=1e-6)
+        assert float(norm.mse) == pytest.approx(float(base.mse), rel=1e-6)
+
+
+def test_qp_gain_ramp_init():
+    from ssgvc_tpu.models.common import qp_gain_ramp_init
+
+    import jax
+
+    init = qp_gain_ramp_init(lo=0.3, hi=4.0)
+    t = np.asarray(init(jax.random.PRNGKey(0), (64, 16)))
+    assert t.shape == (64, 16)
+    assert t[0, 0] == pytest.approx(0.3, rel=1e-5)
+    assert t[-1, 0] == pytest.approx(4.0, rel=1e-5)
+    assert np.all(np.diff(t[:, 0]) > 0)          # strictly rising in qp
+    assert np.allclose(t, t[:, :1])              # constant across channels
+    inv = np.asarray(qp_gain_ramp_init(lo=0.3, hi=4.0, inverse=True)(
+        jax.random.PRNGKey(0), (64, 16)))
+    np.testing.assert_allclose(inv * t, 1.0, rtol=1e-5)
+
+
 def test_roi_mse():
     pred = jnp.ones((1, 4, 4, 3)) * 0.5
     tgt = jnp.zeros((1, 4, 4, 3))

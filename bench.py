@@ -34,9 +34,29 @@ V5E_PEAK_TFLOPS = 197.0        # bf16
 def _require_backend(timeout_s: int = 180):
     """Probe the backend in a SUBPROCESS under a timeout: a wedged axon
     tunnel hangs backend init inside C++ (GIL held, signals useless) — the
-    driver's bench run should get an honest error JSON line, not a hang."""
+    driver's bench run should get an honest error JSON line, not a hang.
+
+    Fast path: when the axon relay is the configured transport
+    (PALLAS_AXON_POOL_IPS set), a closed relay port means PJRT init cannot
+    succeed — report in seconds instead of waiting out the watchdog."""
+    import os
+    import socket
     import subprocess
     import sys
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        for port in (8082, 8083, 8087):
+            s = socket.socket()
+            s.settimeout(2)
+            try:
+                s.connect(("127.0.0.1", port))
+                break
+            except OSError:
+                continue
+            finally:
+                s.close()
+        else:
+            raise TimeoutError("axon relay ports 8082/8083/8087 all closed")
 
     try:
         subprocess.run(
@@ -48,8 +68,30 @@ def _require_backend(timeout_s: int = 180):
         raise TimeoutError(f"backend init failed: {e.stderr[-300:]}")
 
 
+def _tpu_lock():
+    """Exclusive non-blocking lock shared by every TPU entry point in this
+    repo: two concurrent axon clients wedge the tunnel permanently (round-2
+    postmortem), so refuse to start rather than queue behind another client.
+    Returns the held file object (keep a reference) or raises TimeoutError.
+    A parent that already serializes clients (scripts/tpu_oneshot.sh) sets
+    SSGVC_TPU_LOCK_HELD=1 and this becomes a no-op."""
+    import fcntl
+    import os
+
+    if os.environ.get("SSGVC_TPU_LOCK_HELD"):
+        return None
+    f = open("/tmp/ssgvc_tpu_client.lock", "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        f.close()
+        raise TimeoutError("another TPU client holds /tmp/ssgvc_tpu_client.lock")
+    return f
+
+
 def main():
     try:
+        _lock = _tpu_lock()  # noqa: F841 — held for process lifetime
         _require_backend()
     except TimeoutError as e:
         print(json.dumps({

@@ -146,14 +146,14 @@ def main():
     from ssgvc_tpu.config import load_config
     from ssgvc_tpu.data.dataset import WaymoClipDataset
     from ssgvc_tpu.training.evaluate import evaluate_gop_coded
-    from ssgvc_tpu.training.trainer import Trainer, TrainState
+    from ssgvc_tpu.training.trainer import Trainer
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
 
     cfg = load_config(os.path.join(work, "video_compression_config.yaml"),
                       overrides)
     trainer = Trainer(cfg, total_iters=1)
     template = trainer.init_state(jax.random.PRNGKey(0))
-    state = TrainState(*restore_checkpoint(ckpt, target=tuple(template)))
+    state = restore_checkpoint(ckpt, target=template)
 
     ds = WaymoClipDataset(
         sorted(all_boxes), seg_cache_dir=cache_dir, seq_len=3, slide=1,

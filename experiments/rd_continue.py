@@ -35,6 +35,9 @@ def main():
     steps = int(argv[0]) if argv and not argv[0].startswith("-") else 30000
     budget_min = (float(argv[argv.index("--budget-min") + 1])
                   if "--budget-min" in argv else 120.0)
+    # vary per marathon cycle so continuation cycles see fresh data/QP orders
+    cycle_seed = (int(argv[argv.index("--seed") + 1])
+                  if "--seed" in argv else 0)
     tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
     dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
 
@@ -86,9 +89,10 @@ def main():
                                    params_i=ck["params_i"],
                                    params_p=ck["params_p"])
         step_fn = trainer.jit_train_step()
-        rng = jax.random.PRNGKey(100)
-        host_rng = np.random.default_rng(101)
+        rng = jax.random.PRNGKey(100 + 7919 * cycle_seed)
+        host_rng = np.random.default_rng(101 + 7919 * cycle_seed)
         t0 = time.perf_counter()
+        last_save = t0
         for i in range(steps):
             batch = {k: jnp.asarray(v) for k, v in next(it).items()}
             qp = jnp.int32(sample_qp(host_rng))
@@ -99,6 +103,11 @@ def main():
                       f"bpp {float(aux['bpp']):.4f} "
                       f"psnr {float(aux['psnr']):.2f} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if time.perf_counter() - last_save > 600.0:
+                st = jax.device_get(state)
+                save_checkpoint(path, {"params_p": st.params_p,
+                                       "params_i": st.params_i})
+                last_save = time.perf_counter()
             if time.perf_counter() - t0 > per_variant_s:
                 print(f"[{variant}+] budget hit at step {i}")
                 break

@@ -44,13 +44,22 @@ def sample_qp(host_rng) -> int:
     return int(host_rng.integers(0, 64))
 
 
-def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17):
+DMCI_CKPT = "artifacts/rd_ckpt_dmci"
+
+
+def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,
+                  reuse: bool = False):
     import optax
     from ssgvc_tpu.config import DMCIConfig
     from ssgvc_tpu.models.dmci import DMCI
     from ssgvc_tpu.training.loss import compute_lambda, psnr_from_mse
 
     model = DMCI(DMCIConfig(**MID_DMCI))
+    if reuse and os.path.isdir(DMCI_CKPT):
+        from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+        ck = restore_checkpoint(DMCI_CKPT)
+        print(f"[dmci] reused pretrained params from {DMCI_CKPT}")
+        return model, ck["params_i"]
     it = dm.train_iter()
     first = next(it)
     x0 = jnp.asarray(first["frames"][:, 0])
@@ -92,6 +101,10 @@ def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17):
         if time.perf_counter() - t0 > budget_s:
             print(f"[dmci] budget hit at step {i}")
             break
+    from ssgvc_tpu.utils.checkpoint import save_checkpoint
+    os.makedirs("artifacts", exist_ok=True)
+    save_checkpoint(DMCI_CKPT, {"params_i": jax.device_get(params)})
+    print(f"[dmci] saved pretrain checkpoint to {DMCI_CKPT}")
     return model, params
 
 
@@ -114,12 +127,23 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
     it = dm.train_iter()
     first = next(it)
     batch0 = {k: jnp.asarray(v) for k, v in first.items()}
+    params_p = None
+    ckpt_path = f"artifacts/rd_ckpt_{variant}"
+    if os.path.isdir(ckpt_path):
+        # resume an interrupted run's periodic checkpoint (params only;
+        # optimizer state restarts, which the cosine schedule tolerates)
+        from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+        ck = restore_checkpoint(ckpt_path)
+        params_i, params_p = ck["params_i"], ck["params_p"]
+        print(f"[{variant}] resuming params from {ckpt_path}")
     state = trainer.init_state(jax.random.PRNGKey(seed), batch0,
-                               params_i=params_i)
+                               params_i=params_i, params_p=params_p)
     step = trainer.jit_train_step()
     rng = jax.random.PRNGKey(seed + 1)
     host_rng = np.random.default_rng(seed + 2)
+    from ssgvc_tpu.utils.checkpoint import save_checkpoint
     t0 = time.perf_counter()
+    last_save = t0
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
         qp = jnp.int32(sample_qp(host_rng))
@@ -129,6 +153,13 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
             print(f"[{variant}] step {i}: loss {float(aux['loss']):.3f} "
                   f"bpp {float(aux['bpp']):.4f} psnr {float(aux['psnr']):.2f}"
                   f" ({time.perf_counter() - t0:.0f}s)", flush=True)
+        # periodic checkpoint: an interrupted run loses <=10 min, and
+        # rd_continue can always pick up from artifacts/rd_ckpt_{variant}
+        if time.perf_counter() - last_save > 600.0:
+            st = jax.device_get(state)
+            save_checkpoint(f"artifacts/rd_ckpt_{variant}",
+                            {"params_p": st.params_p, "params_i": st.params_i})
+            last_save = time.perf_counter()
         if time.perf_counter() - t0 > budget_s:
             print(f"[{variant}] budget hit at step {i}")
             break
@@ -178,7 +209,8 @@ def main():
         with open("artifacts/rd_full.json", "w") as f:
             json.dump(results, f, indent=2)
 
-    _, params_i = pretrain_dmci(max(1500, steps // 4), dm, total_s * 0.2)
+    _, params_i = pretrain_dmci(max(1500, steps // 4), dm, total_s * 0.2,
+                                reuse="--reuse-dmci" in argv)
 
     trained = {}
     for variant in ("performance", "plain"):

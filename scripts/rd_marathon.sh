@@ -1,13 +1,25 @@
 #!/bin/bash
 # RD marathon: fresh lambda-normalized tiny-profile run, then continuation
-# cycles. Each stage saves checkpoints + partial artifacts, so the marathon
-# is resumable at any cut point (rd_continue picks up artifacts/rd_ckpt_*).
+# cycles. Interrupt-safe at every stage: pretrain_dmci saves
+# artifacts/rd_ckpt_dmci (reused via --reuse-dmci on restart), the variant
+# loops checkpoint every <=10 min, and rd_continue picks up
+# artifacts/rd_ckpt_* wherever the previous stage stopped.
+#
+# All stages run with the axon env scrubbed so nothing ever dials the TPU
+# relay (one-TPU-client rule; see memory/env-quirks).
 cd /root/repo
 LOG=logs/rd_marathon.log
+SCRUB="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu"
 echo "=== marathon start $(date) ===" >> "$LOG"
-timeout 11000 python experiments/rd_full.py 200000 --budget-min 150 --profile tiny --lnorm >> "$LOG" 2>&1
-echo "=== rd_full done $(date) rc=$? ===" >> "$LOG"
-for i in 1 2 3 4 5 6 7 8; do
-  timeout 8000 python experiments/rd_continue.py 200000 --budget-min 100 --profile tiny --lnorm >> "$LOG" 2>&1
+if [ ! -d artifacts/rd_ckpt_performance ] || [ ! -d artifacts/rd_ckpt_plain ]; then
+  $SCRUB timeout 11000 python experiments/rd_full.py 200000 \
+    --budget-min 150 --profile tiny --lnorm --reuse-dmci >> "$LOG" 2>&1
+  echo "=== rd_full done $(date) rc=$? ===" >> "$LOG"
+else
+  echo "=== rd_full skipped (checkpoints exist) $(date) ===" >> "$LOG"
+fi
+for i in 1 2 3 4 5 6 7 8 9 10; do
+  $SCRUB timeout 8000 python experiments/rd_continue.py 200000 \
+    --budget-min 100 --profile tiny --lnorm --seed "$i" >> "$LOG" 2>&1
   echo "=== continue cycle $i done $(date) rc=$? ===" >> "$LOG"
 done

@@ -9,6 +9,12 @@ OUT="logs/tpu_oneshot_$TS"
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# exclusive TPU-client lock for the whole session (bench.py shares this
+# lockfile; SSGVC_TPU_LOCK_HELD tells children the parent already holds it)
+exec 9>/tmp/ssgvc_tpu_client.lock
+flock -n 9 || { echo "another TPU client holds the lock — aborting"; exit 1; }
+export SSGVC_TPU_LOCK_HELD=1
+
 step() {
   name=$1; shift
   echo "== $name: $*" | tee -a "$OUT/summary.log"

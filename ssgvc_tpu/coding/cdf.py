@@ -120,8 +120,8 @@ def build_y_cdf_tables(scale_min: float = 0.11, scale_max: float = 16.0,
     if distribution == "laplace":
         def ncdf(x, s):
             x = np.asarray(x, np.float64)
-            return np.where(x < 0, 0.5 * np.exp(x / s),
-                            1.0 - 0.5 * np.exp(-x / s))
+            e = 0.5 * np.exp(-np.abs(x) / s)  # branch-free: no exp overflow
+            return np.where(x < 0, e, 1.0 - e)
     elif distribution == "gaussian":
         def ncdf(x, s):
             return 0.5 * (1 + np.vectorize(math.erf)(x / (s * math.sqrt(2.0))))

@@ -149,6 +149,31 @@ def test_checkpoint_round_trip(tmp_path):
     assert int(restored["step"]) == 7
 
 
+def test_trainstate_checkpoint_restore_with_template(tmp_path):
+    """The CLI resume path: a saved TrainState (NamedTuple, stored by orbax
+    as a field-name dict) must restore against a fresh template NamedTuple.
+    Regression: target=tuple(template) raised a structure mismatch."""
+    from ssgvc_tpu.training.trainer import TrainState
+    from ssgvc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    state = TrainState(
+        params_p={"enc": {"w": jnp.ones((2, 2))}},
+        params_i={"dec": {"b": jnp.zeros((3,))}},
+        opt_state=(jnp.zeros(()),),
+        step=jnp.int32(11),
+        alm_mu=jnp.float32(0.5),
+        alm_h_accum=jnp.float32(0.0),
+        alm_h_count=jnp.float32(0.0),
+    )
+    path = save_checkpoint(str(tmp_path / "ts"), state)
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, target=template)
+    assert isinstance(restored, TrainState)
+    assert int(restored.step) == 11
+    np.testing.assert_array_equal(
+        np.asarray(restored.params_p["enc"]["w"]), np.ones((2, 2)))
+
+
 def test_create_optimizers():
     import optax
     from ssgvc_tpu.training.optimizers import aux_label, create_optimizers

@@ -94,12 +94,14 @@ def main(argv):
 
     state = None
     if cfg.resume_from_checkpoint:
-        from ssgvc_tpu.training.trainer import TrainState
         from ssgvc_tpu.utils.checkpoint import restore_checkpoint
         import jax as _jax
         template = trainer.init_state(_jax.random.PRNGKey(cfg.seed))
-        state = TrainState(*restore_checkpoint(cfg.resume_from_checkpoint,
-                                               target=tuple(template)))
+        # orbax stores the TrainState NamedTuple as a field-name dict; the
+        # NamedTuple template itself is the matching restore target (a plain
+        # tuple() raises a structure mismatch)
+        state = restore_checkpoint(cfg.resume_from_checkpoint,
+                                   target=template)
         print(f"[resume] restored {cfg.resume_from_checkpoint}")
     elif cfg.image_checkpoint_path or cfg.video_checkpoint_path:
         from ssgvc_tpu.utils.checkpoint import load_pretrained

@@ -107,7 +107,12 @@ def main():
     cfg = DMCConfig.variant("performance", dtype="bfloat16", packed_io=True)
     model = DMC(cfg)
 
-    b, h, w = 1, 1088, 1920
+    # SSGVC_BENCH_BATCH=2 measures two independent 1080p streams per scan
+    # step (serving-style chip fill); default stays the single-stream config
+    # the driver tracks across rounds
+    import os as _os
+    b = int(_os.environ.get("SSGVC_BENCH_BATCH", "1"))
+    h, w = 1088, 1920
     n_frames = 48
     # unique per-process salt: tunneled runtimes cache (executable, args)
     # results across processes, which would fake the measurement

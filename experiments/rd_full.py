@@ -25,14 +25,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+from ssgvc_tpu.config import MODEL_PROFILES
+
 EVAL_QPS = [8, 20, 32, 44, 56]
 LNORM = False  # --lnorm: lambda-normalized RD loss (see loss.py)
-MID_DMC = dict(ch_d=64, ch_y=32, ch_z=32, ch_recon=96)
-MID_DMCI = dict(enc_dec=96, N=64, z_channel=32)
+MID_DMC = MODEL_PROFILES["rd-mid"]["dmc"]
+MID_DMCI = MODEL_PROFILES["rd-mid"]["dmci"]
 # CPU-runnable fallback profile (the 1-core host can train this at ~2-4
 # steps/s; RD separation and matched-rate ROI comparisons still demonstrate)
-TINY_DMC = dict(ch_d=32, ch_y=16, ch_z=16, ch_recon=32)
-TINY_DMCI = dict(enc_dec=48, N=32, z_channel=32)
+TINY_DMC = MODEL_PROFILES["rd-tiny"]["dmc"]
+TINY_DMCI = MODEL_PROFILES["rd-tiny"]["dmci"]
 
 
 def sample_qp(host_rng) -> int:

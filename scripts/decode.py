@@ -18,11 +18,14 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--variant", default="performance")
+    ap.add_argument("--profile", default="full",
+                    help="model size profile (full | tiny | rd-tiny | rd-mid)"
+                         " — must match the checkpoint")
     args = ap.parse_args()
 
     from ssgvc_tpu.coding.codec import VideoCodec
     from ssgvc_tpu.coding.session import CodingSession
-    from ssgvc_tpu.config import DMCConfig, DMCIConfig
+    from ssgvc_tpu.config import profile_model_cfgs
     from ssgvc_tpu.models.dmc import DMC
     from ssgvc_tpu.models.dmci import DMCI
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
@@ -33,8 +36,9 @@ def main():
     params_p = ckpt[0] if isinstance(ckpt, (list, tuple)) else ckpt["params_p"]
     params_i = ckpt[1] if isinstance(ckpt, (list, tuple)) else ckpt["params_i"]
 
-    dmc = DMC(DMCConfig.variant(args.variant))
-    dmci = DMCI(DMCIConfig())
+    dmc_cfg, dmci_cfg = profile_model_cfgs(args.profile, args.variant)
+    dmc = DMC(dmc_cfg)
+    dmci = DMCI(dmci_cfg)
     codec = VideoCodec(dmci, params_i, dmc, params_p)
     session = CodingSession(codec)
 

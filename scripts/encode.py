@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--qp", type=int, default=32)
     ap.add_argument("--gop", type=int, default=32)
     ap.add_argument("--variant", default="performance")
+    ap.add_argument("--profile", default="full",
+                    help="model size profile (full | tiny | rd-tiny | rd-mid)"
+                         " — must match the checkpoint")
     ap.add_argument("--max-frames", type=int, default=None)
     args = ap.parse_args()
 
@@ -32,7 +35,7 @@ def main():
 
     from ssgvc_tpu.coding.codec import VideoCodec
     from ssgvc_tpu.coding.session import CodingSession
-    from ssgvc_tpu.config import DMCConfig, DMCIConfig
+    from ssgvc_tpu.config import profile_model_cfgs
     from ssgvc_tpu.models.dmc import DMC
     from ssgvc_tpu.models.dmci import DMCI
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
@@ -44,8 +47,9 @@ def main():
     params_p = ckpt[0] if isinstance(ckpt, (list, tuple)) else ckpt["params_p"]
     params_i = ckpt[1] if isinstance(ckpt, (list, tuple)) else ckpt["params_i"]
 
-    dmc = DMC(DMCConfig.variant(args.variant))
-    dmci = DMCI(DMCIConfig())
+    dmc_cfg, dmci_cfg = profile_model_cfgs(args.profile, args.variant)
+    dmc = DMC(dmc_cfg)
+    dmci = DMCI(dmci_cfg)
     codec = VideoCodec(dmci, params_i, dmc, params_p)
     session = CodingSession(codec, gop_size=args.gop)
 

@@ -35,6 +35,9 @@ STEP_TIMEOUT=240 step devices python -c "import jax; print(jax.devices())" \
 # 2. the round's most precious artifact: the driver-format bench
 STEP_TIMEOUT=900 step bench python bench.py
 
+# 2b. serving-style chip fill: two independent 1080p streams per scan step
+STEP_TIMEOUT=900 step bench_batch2 env SSGVC_BENCH_BATCH=2 python bench.py || true
+
 # 3. pallas_dcb Mosaic compile attempt (bounded; failure is non-fatal)
 STEP_TIMEOUT=600 step pallas_compile python experiments/pallas_dcb_hw.py || true
 

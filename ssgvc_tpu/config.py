@@ -96,6 +96,36 @@ class DMCConfig:
         return DMCConfig(**base)
 
 
+#: Named model-size profiles shared by the CLI tools and the RD experiment
+#: harness. "full" is the reference's published size (src/refactor/config.py);
+#: the smaller tiers exist because the 1-core CPU host cannot compile/train
+#: the full model in useful time — same architecture, fewer channels.
+MODEL_PROFILES = {
+    "full": dict(dmc={}, dmci={}),
+    "tiny": dict(dmc=dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16),
+                 dmci=dict(enc_dec=32, N=16, z_channel=8)),
+    "rd-tiny": dict(dmc=dict(ch_d=32, ch_y=16, ch_z=16, ch_recon=32),
+                    dmci=dict(enc_dec=48, N=32, z_channel=32)),
+    "rd-mid": dict(dmc=dict(ch_d=64, ch_y=32, ch_z=32, ch_recon=96),
+                   dmci=dict(enc_dec=96, N=64, z_channel=32)),
+}
+
+
+def profile_model_cfgs(profile: str, variant: str = "performance",
+                       dtype: str = "float32", **dmc_overrides):
+    """(DMCConfig, DMCIConfig) for a named size profile — the one place the
+    size tiers are defined, so a checkpoint trained at any tier can be
+    reloaded by name from every entry point (encode/decode CLIs, rd_*)."""
+    if profile not in MODEL_PROFILES:
+        raise ValueError(f"Unknown profile {profile!r}; expected one of "
+                         f"{sorted(MODEL_PROFILES)}")
+    p = MODEL_PROFILES[profile]
+    dmc = DMCConfig.variant(variant, dtype=dtype,
+                            **{**p["dmc"], **dmc_overrides})
+    dmci = DMCIConfig(dtype=dtype, **p["dmci"])
+    return dmc, dmci
+
+
 # --------------------------- training configs ---------------------------
 
 @dataclass

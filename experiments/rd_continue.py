@@ -46,6 +46,7 @@ def main():
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
     from ssgvc_tpu.data.dataset import ClipDataModule, SyntheticClipDataset
     from ssgvc_tpu.training.evaluate import (
+        bd_psnr,
         bd_rate,
         evaluate_gop_estimated,
         rd_sweep,
@@ -140,6 +141,8 @@ def main():
         perf = results["variants"]["performance"]["estimated_rd"]
         plain = results["variants"]["plain"]["estimated_rd"]
         results["bd_rate_roi_psnr_pct"] = bd_rate(
+            plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+        results["bd_psnr_roi_db"] = bd_psnr(
             plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
         for v, c in results["variants"].items():
             bpps = c["estimated_rd"]["bpp"]

@@ -184,6 +184,7 @@ def main():
 
     from ssgvc_tpu.data.dataset import ClipDataModule, SyntheticClipDataset
     from ssgvc_tpu.training.evaluate import (
+        bd_psnr,
         bd_rate,
         evaluate_gop_coded,
         evaluate_gop_estimated,
@@ -252,9 +253,15 @@ def main():
     bd_global = bd_rate(plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
     results["bd_rate_roi_psnr_pct"] = bd_roi
     results["bd_rate_psnr_pct"] = bd_global
+    # the reference's headline metric: ROI dB gained at matched rate
+    bd_roi_db = bd_psnr(plain["bpp"], plain["roi_psnr"],
+                        perf["bpp"], perf["roi_psnr"])
+    results["bd_psnr_roi_db"] = bd_roi_db
     print(f"[bd] ROI-PSNR BD-rate (performance vs plain): {bd_roi:+.1f}% "
           f"(negative = rate saved at equal ROI quality)")
     print(f"[bd] global-PSNR BD-rate: {bd_global:+.1f}%")
+    print(f"[bd] ROI BD-PSNR (performance vs plain at matched rate): "
+          f"{bd_roi_db:+.2f} dB (reference claim: +1-1.5 dB)")
 
     # QP monotonicity check: lambda(qp) interpolates 50 -> 38400 with QP, so
     # HIGHER qp = heavier distortion weight = HIGHER rate; bpp must rise

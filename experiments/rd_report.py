@@ -102,10 +102,12 @@ def main():
                     f"bpp monotone rising in QP: **{mono}**", ""]
         bd_roi = latest.get("bd_rate_roi_psnr_pct")
         bd_glob = latest.get("bd_rate_psnr_pct")
+        bd_db = latest.get("bd_psnr_roi_db")
         out += [f"BD-rate (performance vs plain, ROI PSNR): "
                 f"**{_fmt(bd_roi, 1)}%** "
                 "(negative = rate saved at equal ROI quality); global-PSNR "
-                f"BD-rate: {_fmt(bd_glob, 1)}%", ""]
+                f"BD-rate: {_fmt(bd_glob, 1)}%; ROI BD-PSNR at matched rate: "
+                f"**{_fmt(bd_db, 2)} dB** (reference claim: +1-1.5 dB)", ""]
         gap = (full or {}).get("estimate_vs_real_bpp")
         if gap:
             out += ["Estimated vs real (rANS) bpp:", "",

@@ -163,3 +163,32 @@ def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test) -> float:
     avg_a = (np.polyval(int_a, hi) - np.polyval(int_a, lo)) / (hi - lo)
     avg_t = (np.polyval(int_t, hi) - np.polyval(int_t, lo)) / (hi - lo)
     return float((np.exp(avg_t - avg_a) - 1) * 100.0)
+
+
+def bd_psnr(rate_anchor, psnr_anchor, rate_test, psnr_test) -> float:
+    """Bjøntegaard delta PSNR (dB): mean quality gain of the test curve over
+    the anchor AT MATCHED RATE, integrated over the overlapping log-rate
+    range. This is the metric of the reference's headline claim — "+1-1.5 dB
+    ROI PSNR over baseline at similar BPP" (reference README.md:7)."""
+    lr_a = np.log(np.asarray(rate_anchor, np.float64))
+    lr_t = np.log(np.asarray(rate_test, np.float64))
+    p_a = np.asarray(psnr_anchor, np.float64)
+    p_t = np.asarray(psnr_test, np.float64)
+
+    order_a = np.argsort(lr_a)
+    order_t = np.argsort(lr_t)
+    lr_a, p_a = lr_a[order_a], p_a[order_a]
+    lr_t, p_t = lr_t[order_t], p_t[order_t]
+
+    lo = max(lr_a.min(), lr_t.min())
+    hi = min(lr_a.max(), lr_t.max())
+    if hi <= lo:
+        return float("nan")
+
+    fit_a = np.polyfit(lr_a, p_a, min(3, len(lr_a) - 1))
+    fit_t = np.polyfit(lr_t, p_t, min(3, len(lr_t) - 1))
+    int_a = np.polyint(fit_a)
+    int_t = np.polyint(fit_t)
+    avg_a = (np.polyval(int_a, hi) - np.polyval(int_a, lo)) / (hi - lo)
+    avg_t = (np.polyval(int_t, hi) - np.polyval(int_t, lo)) / (hi - lo)
+    return float(avg_t - avg_a)

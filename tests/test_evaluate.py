@@ -82,3 +82,29 @@ def test_streaming_packed_dpb_matches_dict_forward(models):
                                np.asarray(out["dpb"]["frame"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(bpp), np.asarray(out["bpp"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bd_rate_and_bd_psnr_analytic():
+    """Pure-curve Bjontegaard metrics: a test curve identical to the anchor
+    scores 0; one shifted +1 dB at every rate scores exactly +1 dB BD-PSNR
+    and a negative BD-rate (rate saved at equal quality)."""
+    from ssgvc_tpu.training.evaluate import bd_psnr, bd_rate
+
+    rate = [0.05, 0.1, 0.2, 0.4, 0.8]
+    psnr = [30.0, 32.0, 34.0, 36.0, 38.0]
+
+    assert abs(bd_rate(rate, psnr, rate, psnr)) < 1e-9
+    assert abs(bd_psnr(rate, psnr, rate, psnr)) < 1e-9
+
+    better = [p + 1.0 for p in psnr]
+    assert abs(bd_psnr(rate, psnr, rate, better) - 1.0) < 1e-6
+    assert bd_rate(rate, psnr, rate, better) < -10.0
+    # symmetric direction
+    assert abs(bd_psnr(rate, better, rate, psnr) + 1.0) < 1e-6
+
+
+def test_bd_metrics_nan_when_no_overlap():
+    from ssgvc_tpu.training.evaluate import bd_psnr, bd_rate
+
+    assert np.isnan(bd_rate([0.1, 0.2], [30, 31], [0.3, 0.4], [40, 41]))
+    assert np.isnan(bd_psnr([0.1, 0.2], [30, 31], [0.5, 0.9], [40, 41]))

@@ -302,3 +302,18 @@ def test_vimeo_mp4_dataset_round_trip(tmp_path):
     assert frames.shape == (7, 32, 32, 3)
     assert frames.dtype == np.float32 and frames.max() <= 1.0
     assert masks.shape == (7, 32, 32, 1) and masks.sum() == 0
+
+
+def test_profile_model_cfgs():
+    from ssgvc_tpu.config import MODEL_PROFILES, profile_model_cfgs
+
+    for name in MODEL_PROFILES:
+        dmc_cfg, dmci_cfg = profile_model_cfgs(name, variant="plain")
+        assert dmc_cfg.ch_d >= dmc_cfg.ch_y
+        assert dmci_cfg.qp_num == 64
+    full_dmc, full_dmci = profile_model_cfgs("full")
+    tiny_dmc, tiny_dmci = profile_model_cfgs("tiny")
+    assert full_dmc.ch_d > tiny_dmc.ch_d
+    assert full_dmci.enc_dec > tiny_dmci.enc_dec
+    with pytest.raises(ValueError):
+        profile_model_cfgs("nope")

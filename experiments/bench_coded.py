@@ -37,15 +37,22 @@ def main():
     packed = "--packed" in args  # same packed_io fast path as bench.py
     label = (args[args.index("--label") + 1] if "--label" in args
              else f"ec_part={ec_part},skip={skip},packed={int(packed)}")
+    # --profile rd-tiny --res 256x448 lets the coded pipeline run on the CPU
+    # host (provenance recorded in the JSON row); the headline config stays
+    # full-size 1080p on the TPU
+    profile = (args[args.index("--profile") + 1] if "--profile" in args
+               else "full")
+    res = (args[args.index("--res") + 1] if "--res" in args else "1088x1920")
 
-    from ssgvc_tpu.config import DMCConfig, DMCIConfig
+    from ssgvc_tpu.config import profile_model_cfgs
     from ssgvc_tpu.models.dmc import DMC
     from ssgvc_tpu.models.dmci import DMCI
     from ssgvc_tpu.coding.codec import VideoCodec
 
-    h, w = 1088, 1920
-    dmci = DMCI(DMCIConfig())
-    dmc = DMC(DMCConfig.variant("performance"))
+    h, w = (int(v) for v in res.split("x"))
+    dmc_cfg, dmci_cfg = profile_model_cfgs(profile, "performance")
+    dmci = DMCI(dmci_cfg)
+    dmc = DMC(dmc_cfg)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
@@ -120,6 +127,8 @@ def main():
         import json
         entry = {
             "backend": jax.default_backend(),
+            "profile": profile,
+            "resolution": f"{h}x{w}",
             "n_p_frames": n_frames - 1,
             "ec_part": ec_part, "skip_thres": skip, "packed_dmc": packed,
             "enc_ms_per_frame": round(enc_ms, 2),

@@ -71,13 +71,18 @@ def main():
     # ---- coded bench ----------------------------------------------------
     coded = _load("artifacts/bench_coded.json")
     if coded:
-        rows = coded if isinstance(coded, list) else [coded]
-        out += ["## Real-bitstream coding throughput", "",
-                "| label | enc fps | dec fps | bytes/frame |", "|---|---|---|---|"]
-        for r in rows:
-            out.append(f"| {r.get('label', '?')} | {_fmt(r.get('enc_fps'), 1)} "
-                       f"| {_fmt(r.get('dec_fps'), 1)} | "
-                       f"{_fmt(r.get('bytes_per_frame'), 0)} |")
+        out += ["## Real-bitstream 1080p coding throughput "
+                "(`experiments/bench_coded.py`)", "",
+                "| config | backend | profile | res | enc fps | dec fps | "
+                "P bytes (median) | bit-exact |",
+                "|---|---|---|---|---|---|---|---|"]
+        for label, r in coded.items():
+            out.append(
+                f"| {label} | {r.get('backend', '?')} | "
+                f"{r.get('profile', 'full')} | {r.get('resolution', '—')} | "
+                f"{_fmt(r.get('enc_fps'), 1)} | {_fmt(r.get('dec_fps'), 1)} | "
+                f"{r.get('p_frame_bytes_median', '—')} | "
+                f"{r.get('bit_exact', '—')} |")
         out.append("")
 
     # ---- RD: latest full + continued -----------------------------------

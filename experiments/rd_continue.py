@@ -76,7 +76,11 @@ def main():
         ck = restore_checkpoint(path)
         cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
         cfg.precision = "fp32"
-        cfg.optimizer.base_lr = 3e-4   # continuation: lower LR
+        # Same LR as the fresh run: training is still far below the
+        # temporal-copy PSNR bound (~30 dB on these clips vs ~14 dB reached),
+        # i.e. nowhere near convergence — each cycle is a warm restart
+        # (SGDR-style), not a fine-tune.
+        cfg.optimizer.base_lr = 7e-4
         cfg.optimizer.min_lr = 5e-5
         cfg.roi_weight = 100.0
         cfg.lambda_normalize = "--lnorm" in argv

@@ -68,6 +68,8 @@ def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,
     rng = jax.random.PRNGKey(seed)
     params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
                         train=False)["params"]
+    from ssgvc_tpu.training.calibrate import calibrate_dmci
+    params = calibrate_dmci(model, params, x0)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
     opt_state = tx.init(params)
 

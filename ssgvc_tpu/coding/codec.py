@@ -167,7 +167,7 @@ class VideoCodec:
                 gamma, beta = mod.mask_sft(mask, q_sft)
                 y = y * (1.0 + gamma) + beta
 
-            z = mod.hyper_encoder(mod._hyper_input(y, mask))
+            z = mod.hyper_z(y, mask)
             z_int8 = jnp.clip(jnp.round(z), -128, 127).astype(jnp.int8)
             return {"y": y, "z_int8": z_int8}
 

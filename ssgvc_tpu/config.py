@@ -196,6 +196,9 @@ class TrainConfig:
     # gradients across mixed-QP batches (from-scratch recipe knob; the
     # reference finetunes pretrained weights and never needs it)
     lambda_normalize: bool = False
+    # init-time quantizer-gain calibration (training/calibrate.py): fresh
+    # inits only, no effect on restored/imported checkpoints
+    calibrate_gains: bool = True
 
     exp_name: str = "video-compression-waymo"
     model_profile: str = "full"       # full | tiny (CI/smoke runs)

@@ -338,6 +338,13 @@ class DMC(nn.Module):
                                     (qp_total, c.ch_d))
         self.q_recon = self.param("q_recon", nn.initializers.ones,
                                   (qp_total, c.ch_recon))
+        # Bootstrap gain on the hyper latent z. The reference has no such
+        # parameter because it always finetunes pretrained DCVC-RT weights
+        # whose hyper analysis already emits unit-scale latents; a fresh
+        # flax init gives std(z) ~ 0.1, so round(z) == 0 everywhere and the
+        # hyperprior is dead from step 0 (see training/calibrate.py). Ones
+        # == identity, so checkpoint import keeps reference semantics.
+        self.z_gain = self.param("z_gain", nn.initializers.ones, (c.ch_z,))
         self.bit_estimator_z = BitEstimator(qp_total, c.ch_z)
 
     # -- helpers -----------------------------------------------------------
@@ -360,6 +367,12 @@ class DMC(nn.Module):
         if isinstance(after_i, bool):
             return feat_i() if after_i else feat_p()
         return jnp.where(after_i, feat_i(), feat_p())
+
+    def hyper_z(self, y, current_mask):
+        """Hyper analysis incl. the bootstrap z gain — single definition so
+        the training forward and the real coded path quantize the same z."""
+        return (self.hyper_encoder(self._hyper_input(y, current_mask))
+                * self.z_gain.astype(self.dtype or jnp.float32))
 
     def res_prior_param_decoder(self, z_hat, ctx_t):
         hierarchical = self.hyper_decoder(z_hat)
@@ -459,7 +472,7 @@ class DMC(nn.Module):
             gamma, beta = self.mask_sft(current_mask, q_sft)
             y = y * (1.0 + gamma) + beta
 
-        z = self.hyper_encoder(self._hyper_input(y, current_mask))
+        z = self.hyper_z(y, current_mask)
         z_hat = ste_round(z)
         rng = self.make_rng("noise") if train else None
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)

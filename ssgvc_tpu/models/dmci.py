@@ -112,10 +112,15 @@ class DMCI(nn.Module):
             "q_scale_enc", enc_init, (c.qp_num, c.enc_dec))
         self.q_scale_dec = self.param(
             "q_scale_dec", dec_init, (c.qp_num, c.enc_dec))
+        # Bootstrap gain on z (ones == reference identity; calibrated for
+        # from-scratch runs — see models/dmc.py setup + training/calibrate.py)
+        self.z_gain = self.param("z_gain", nn.initializers.ones,
+                                 (c.z_channel,))
         self.bit_estimator_z = BitEstimator(c.qp_num, c.z_channel)
 
     def hyper_enc(self, x):
-        return self.hyper_enc_2(self.hyper_enc_1(self.hyper_enc_0(x)))
+        return (self.hyper_enc_2(self.hyper_enc_1(self.hyper_enc_0(x)))
+                * self.z_gain.astype(self.dtype or jnp.float32))
 
     def hyper_dec(self, x):
         return self.hyper_dec_2(self.hyper_dec_1(self.hyper_dec_0(x)))

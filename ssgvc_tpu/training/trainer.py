@@ -184,21 +184,33 @@ class Trainer:
         frames, masks = batch["frames"], batch["masks"]
         b, _, h, w, _ = frames.shape
         r_i, r_p, r_n = jax.random.split(rng, 3)
-        if params_i is None:
+        fresh_i = params_i is None
+        if fresh_i:
             params_i = self.dmci.init(
                 {"params": r_i}, frames[:, 0], jnp.int32(0), train=False
             )["params"]
-        if params_p is None:
-            dpb = {
-                "frame": frames[:, 0],
-                "feature": jnp.zeros(
-                    (b, h // self.dmc_cfg.patch_size, w // self.dmc_cfg.patch_size,
-                     self.dmc_cfg.ch_d), jnp.float32),
-            }
+        dpb = {
+            "frame": frames[:, 0],
+            "feature": jnp.zeros(
+                (b, h // self.dmc_cfg.patch_size, w // self.dmc_cfg.patch_size,
+                 self.dmc_cfg.ch_d), jnp.float32),
+        }
+        fresh_p = params_p is None
+        if fresh_p:
             params_p = self.dmc.init(
                 {"params": r_p, "noise": r_n}, frames[:, 1], jnp.int32(0), dpb,
                 after_i=jnp.bool_(True), mask=masks[:, 1], train=False
             )["params"]
+        # gain calibration: only for FRESH inits (restored checkpoints carry
+        # trained gains) and only when the batch carries real signal (the
+        # zeros example_batch would measure std 0 — e.g. dryrun_multichip)
+        if self.cfg.calibrate_gains and float(jnp.std(frames)) > 1e-4:
+            from .calibrate import calibrate_dmc, calibrate_dmci
+            if fresh_i:
+                params_i = calibrate_dmci(self.dmci, params_i, frames[:, 0])
+            if fresh_p:
+                params_p = calibrate_dmc(self.dmc, params_p, frames[:, 1],
+                                         dpb, masks[:, 1])
         opt_state = self.tx.init(params_p)
         state = TrainState(
             params_p=params_p, params_i=params_i, opt_state=opt_state,

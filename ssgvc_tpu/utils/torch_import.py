@@ -89,20 +89,32 @@ def flatten(tree, prefix: Tuple[str, ...] = ()) -> FlatParams:
     return out
 
 
+# Params this rebuild adds on top of the reference's parameter set; a torch
+# checkpoint legitimately lacks them and the template's init (identity)
+# keeps reference semantics. z_gain: from-scratch bootstrap gain
+# (models/dmc.py setup), ones == identity.
+DEFAULT_OK_LEAVES = frozenset({"z_gain"})
+
+
 def align_params(flat_src: FlatParams, params_template) -> dict:
     """Fill a flax params template from converted torch params.
 
     Keys present in the torch checkpoint but absent from the model (e.g. the
     reference's dead ``hyper_in_adapter``, seg_video_model.py:225) are
-    dropped; keys the model needs but the checkpoint lacks raise.
+    dropped; keys the model needs but the checkpoint lacks raise — except
+    rebuild-only params (DEFAULT_OK_LEAVES), which keep their init values.
     """
     template_flat = flatten(params_template)
-    missing = [k for k in template_flat if k not in flat_src]
+    missing = [k for k in template_flat
+               if k not in flat_src and k[-1] not in DEFAULT_OK_LEAVES]
     if missing:
         raise KeyError(f"checkpoint missing {len(missing)} params, e.g. "
                        f"{missing[:5]}")
     picked: FlatParams = {}
     for key, tmpl in template_flat.items():
+        if key not in flat_src and key[-1] in DEFAULT_OK_LEAVES:
+            picked[key] = tmpl
+            continue
         arr = flat_src[key]
         if tuple(arr.shape) != tuple(tmpl.shape):
             raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "

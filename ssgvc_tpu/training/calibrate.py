@@ -13,10 +13,11 @@ I-model — which escaped the collapse — reached 27 dB with latent std 5.
 
 Calibration measures latent std on ONE real batch at init and rescales:
 
-  - DMC:  ``q_encoder``/``q_decoder`` by a scalar (the gain multiplies the
-    feature right before the encoder's final linear conv, so a scalar on
-    the table scales y exactly; the inverse on ``q_decoder`` keeps the
-    synthesis input scale unchanged at init), and ``z_gain`` per channel.
+  - DMC:  ``q_encoder`` by a scalar (the gain multiplies the feature right
+    before the encoder's final linear conv, so a scalar on the table scales
+    y exactly), and ``z_gain`` per channel. ``q_decoder`` stays at its QP
+    ramp by default so the synthesis trunk sees the latent at full scale —
+    see ``calibrate_dmc`` for the measured rationale.
   - DMCI: ``z_gain`` per channel only. Its y-gain sits deep inside
     nonlinear blocks (IntraEncoder applies it before 6 DepthConvBlocks) so
     a table rescale is not a clean y rescale — and the intra model
@@ -63,16 +64,27 @@ def _scalar_scale(arr, target: float, lo: float = 0.25,
 
 def calibrate_dmc(dmc, params, x, dpb, mask, qp: int = 32,
                   target_y: float = TARGET_Y_STD,
-                  target_z: float = TARGET_Z_STD) -> Dict[str, Any]:
+                  target_z: float = TARGET_Z_STD,
+                  decoder_inverse: bool = False) -> Dict[str, Any]:
     """Return params with q_encoder/q_decoder/z_gain rescaled so that at the
-    mid-QP row std(y) ~= target_y and std(z) ~= target_z on this batch."""
+    mid-QP row std(y) ~= target_y and std(z) ~= target_z on this batch.
+
+    decoder_inverse=True additionally divides q_decoder by the same factor,
+    keeping the synthesis trunk's input at its (tiny) pre-calibration scale.
+    Measured on the rd-tiny liveness probe, that starves the decoder — after
+    1.5k steps the recon was still input-independent (40 dB between recons
+    of different clips) even though y itself was quantization-alive. The
+    default leaves q_decoder at its QP ramp, so the trunk sees the latent at
+    the same healthy scale the (demonstrably trainable) DMCI synthesis gets.
+    """
     kwargs = dict(after_i=True, mask=mask, train=False,
                   capture_intermediates=True, mutable=["intermediates"])
     _, inter = dmc.apply({"params": params}, x, jnp.int32(qp), dpb, **kwargs)
     cy = _scalar_scale(_fetch(inter["intermediates"], "encoder"), target_y)
     p = dict(params)
     p["q_encoder"] = params["q_encoder"] * cy
-    p["q_decoder"] = params["q_decoder"] / cy
+    if decoder_inverse:
+        p["q_decoder"] = params["q_decoder"] / cy
     # second pass with the calibrated y: the hyper analysis is nonlinear, so
     # z must be measured at the scale it will actually see
     _, inter = dmc.apply({"params": p}, x, jnp.int32(qp), dpb, **kwargs)

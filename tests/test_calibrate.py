@@ -68,10 +68,14 @@ def test_calibrate_dmc_places_latents_at_target():
     # quantization actually resolves the latents now
     assert float(np.mean(np.round(y1) != 0)) > 0.3
     assert float(np.mean(np.round(z1) != 0)) > 0.3
-    # y rescale is scale-neutral for the synthesis input at init:
-    # q_encoder * q_decoder unchanged
+    # q_decoder keeps its QP ramp (decoder_inverse=False default): the
+    # synthesis trunk must see the calibrated latent at full scale
+    np.testing.assert_array_equal(np.asarray(cal["q_decoder"]),
+                                  np.asarray(params["q_decoder"]))
+    # the opt-in inverse mode is scale-neutral for the synthesis input
+    inv = calibrate_dmc(model, params, x, dpb, mask, decoder_inverse=True)
     np.testing.assert_allclose(
-        np.asarray(cal["q_encoder"]) * np.asarray(cal["q_decoder"]),
+        np.asarray(inv["q_encoder"]) * np.asarray(inv["q_decoder"]),
         np.asarray(params["q_encoder"]) * np.asarray(params["q_decoder"]),
         rtol=1e-5)
 

@@ -133,6 +133,13 @@ def main():
 
         curve = rd_sweep(eval_qp, qps=EVAL_QPS)
         results["variants"][variant] = {"estimated_rd": curve}
+        # collapse tripwire: alive latent fractions + cross-clip recon PSNR
+        # (high == constant decoder output; docs/FROM_SCRATCH_TRAINING.md)
+        from ssgvc_tpu.training.evaluate import latent_liveness
+        results["variants"][variant]["liveness"] = latent_liveness(
+            trainer.dmc, state.params_p, eval_clips[0], eval_clips[1])
+        print(f"[{variant}+] liveness="
+              f"{results['variants'][variant]['liveness']}")
         print(f"[{variant}+] bpp={[round(b, 4) for b in curve['bpp']]}")
         print(f"[{variant}+] psnr={[round(p, 2) for p in curve['psnr']]}")
         print(f"[{variant}+] roi={[round(p, 2) for p in curve['roi_psnr']]}",

@@ -65,6 +65,51 @@ def evaluate_gop_estimated(dmci, params_i, dmc, params_p, frames, masks,
     return results
 
 
+def latent_liveness(dmc, params_p, clip_a, clip_b,
+                    qps: Sequence[int] = (8, 32, 56)) -> Dict:
+    """Collapse tripwire (docs/FROM_SCRATCH_TRAINING.md): per QP, the
+    fraction of quantized latent positions != 0 (``alive_y``/``alive_z``)
+    and the PSNR between recons of two DIFFERENT clips
+    (``recon_cross_clip_psnr`` — HIGH means the decoder emits a
+    near-constant image, i.e. the from-scratch collapse).
+
+    clip_a/clip_b: (frames, masks) with frames (T,H,W,3) numpy YCbCr;
+    frame 1 is coded conditioned on frame 0 as the DPB reference.
+    """
+    def run(frames, masks, qp):
+        ps = dmc.cfg.patch_size
+        x = jnp.asarray(frames[1])[None]
+        m = jnp.asarray(masks[1])[None]
+        dpb = {"frame": jnp.asarray(frames[0])[None],
+               "feature": jnp.zeros(
+                   (1, frames.shape[1] // ps, frames.shape[2] // ps,
+                    dmc.cfg.ch_d), jnp.float32)}
+        out, inter = dmc.apply(
+            {"params": params_p}, x, jnp.int32(qp), dpb, after_i=True,
+            mask=m, train=False, capture_intermediates=True,
+            mutable=["intermediates"])
+        inter = inter["intermediates"]
+        y = np.asarray(inter["encoder"]["__call__"][0], np.float32)
+        z = (np.asarray(inter["hyper_encoder"]["__call__"][0], np.float32)
+             * np.asarray(params_p["z_gain"], np.float32))
+        return (np.asarray(out["dpb"]["frame"][0]),
+                float(np.mean(np.round(y) != 0)),
+                float(np.mean(np.round(z) != 0)))
+
+    report = {}
+    for qp in qps:
+        ra, alive_y, alive_z = run(*clip_a, qp)
+        rb, _, _ = run(*clip_b, qp)
+        mse = float(np.mean((ra.astype(np.float64)
+                             - rb.astype(np.float64)) ** 2))
+        report[str(qp)] = {
+            "alive_y": alive_y, "alive_z": alive_z,
+            "recon_cross_clip_psnr": float(min(
+                99.9, 10 * np.log10(1.0 / max(mse, 1e-10)))),
+        }
+    return report
+
+
 def evaluate_gop_coded(codec, frames, masks, qp: int,
                        index_map: Sequence[int],
                        qp_shift: Sequence[int]) -> List[Dict]:

@@ -44,10 +44,12 @@ def main():
     results = {"profile": "tiny" if tiny else "mid", "crops": {}}
     cfg = TrainConfig()
     for crop in crops:
+        # default matches the training distribution of every current
+        # checkpoint (rd_full/rd_continue train on texture="smooth")
         eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
                                        crop_size=crop, seed=777,
-                                       texture="smooth" if "--smooth" in argv
-                                       else "noise")
+                                       texture="noise" if "--noise" in argv
+                                       else "smooth")
         clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                  for i in range(6)]
         per_variant = {}
@@ -72,6 +74,11 @@ def main():
                 return out
 
             curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+
+            # collapse tripwire (docs/FROM_SCRATCH_TRAINING.md)
+            from ssgvc_tpu.training.evaluate import latent_liveness
+            curve["liveness"] = latent_liveness(
+                tr.dmc, ck["params_p"], clips[0], clips[1])
 
             # estimate-vs-real bpp gap per QP (VERDICT r2: track the gap so
             # shrinkage with training is demonstrable, not asserted). Only at

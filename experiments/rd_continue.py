@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+import rd_full
 from rd_full import (
     EVAL_QPS,
     MID_DMC,
@@ -40,6 +41,10 @@ def main():
                   if "--seed" in argv else 0)
     tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
     dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
+    recon_skip = "--recon-skip" in argv
+    # share rd_full's profile/recipe-tagged checkpoint naming
+    rd_full.PROFILE = "tiny" if tiny else "mid"
+    rd_full.RECON_SKIP = recon_skip
 
     import time
 
@@ -69,11 +74,18 @@ def main():
     per_variant_s = budget_min * 60.0 / 2
 
     for variant in ("performance", "plain"):
-        path = f"artifacts/rd_ckpt_{variant}"
+        path = rd_full.ckpt_path(variant)
         if not os.path.isdir(path):
             print(f"[skip] no checkpoint at {path}")
             continue
         ck = restore_checkpoint(path)
+        # keep the pre-cycle params: a diverging warm restart overwrites
+        # `path` every <=10 min, so `.prev` is the recovery copy
+        import shutil
+        prev = path + ".prev"
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        shutil.copytree(path, prev)
         cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
         cfg.precision = "fp32"
         # Same LR as the fresh run: training is still far below the
@@ -85,7 +97,8 @@ def main():
         cfg.roi_weight = 100.0
         cfg.lambda_normalize = "--lnorm" in argv
         trainer = Trainer(cfg, total_iters=steps,
-                          dmc_cfg=DMCConfig.variant(variant, **dmc_kw),
+                          dmc_cfg=DMCConfig.variant(
+                              variant, recon_residual=recon_skip, **dmc_kw),
                           dmci_cfg=DMCIConfig(**dmci_kw))
         it = dm.train_iter()
         first = next(it)

@@ -29,12 +29,22 @@ from ssgvc_tpu.config import MODEL_PROFILES
 
 EVAL_QPS = [8, 20, 32, 44, 56]
 LNORM = False  # --lnorm: lambda-normalized RD loss (see loss.py)
+RECON_SKIP = False  # --recon-skip: recon_residual from-scratch training aid
+PROFILE = "mid"
 MID_DMC = MODEL_PROFILES["rd-mid"]["dmc"]
 MID_DMCI = MODEL_PROFILES["rd-mid"]["dmci"]
 # CPU-runnable fallback profile (the 1-core host can train this at ~2-4
 # steps/s; RD separation and matched-rate ROI comparisons still demonstrate)
 TINY_DMC = MODEL_PROFILES["rd-tiny"]["dmc"]
 TINY_DMCI = MODEL_PROFILES["rd-tiny"]["dmci"]
+
+
+def ckpt_path(variant: str) -> str:
+    """Checkpoint dir encodes profile + recipe so a --profile or --recon-skip
+    switch can never restore shape- or semantics-mismatched params
+    (round-3 advisor finding)."""
+    tag = f"{PROFILE}-skip" if RECON_SKIP else PROFILE
+    return f"artifacts/rd_ckpt_{variant}_{tag}"
 
 
 def sample_qp(host_rng) -> int:
@@ -46,7 +56,9 @@ def sample_qp(host_rng) -> int:
     return int(host_rng.integers(0, 64))
 
 
-DMCI_CKPT = "artifacts/rd_ckpt_dmci"
+def dmci_ckpt_path() -> str:
+    # DMCI has no recon_residual (intra), so only the profile tags it
+    return f"artifacts/rd_ckpt_dmci_{PROFILE}"
 
 
 def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,
@@ -57,10 +69,10 @@ def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,
     from ssgvc_tpu.training.loss import compute_lambda, psnr_from_mse
 
     model = DMCI(DMCIConfig(**MID_DMCI))
-    if reuse and os.path.isdir(DMCI_CKPT):
+    if reuse and os.path.isdir(dmci_ckpt_path()):
         from ssgvc_tpu.utils.checkpoint import restore_checkpoint
-        ck = restore_checkpoint(DMCI_CKPT)
-        print(f"[dmci] reused pretrained params from {DMCI_CKPT}")
+        ck = restore_checkpoint(dmci_ckpt_path())
+        print(f"[dmci] reused pretrained params from {dmci_ckpt_path()}")
         return model, ck["params_i"]
     it = dm.train_iter()
     first = next(it)
@@ -107,13 +119,34 @@ def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,
             break
     from ssgvc_tpu.utils.checkpoint import save_checkpoint
     os.makedirs("artifacts", exist_ok=True)
-    save_checkpoint(DMCI_CKPT, {"params_i": jax.device_get(params)})
-    print(f"[dmci] saved pretrain checkpoint to {DMCI_CKPT}")
+    save_checkpoint(dmci_ckpt_path(), {"params_i": jax.device_get(params)})
+    print(f"[dmci] saved pretrain checkpoint to {dmci_ckpt_path()}")
     return model, params
 
 
+GATE_STEP = 1000          # run the collapse gate once, this many steps in
+GATE_CROSS_CLIP_DB = 25.0  # recons of different clips more similar than this
+#                            at EVERY QP == input-independent decoder
+
+
+def liveness_gate(trainer, state, clip_a, clip_b, variant, step_no):
+    """Go/no-go collapse gate (round-3 verdict item #2): abort a long cycle
+    early instead of burning the full budget on a collapsed run. Returns
+    (ok, report)."""
+    from ssgvc_tpu.training.evaluate import latent_liveness
+    report = latent_liveness(trainer.dmc, state.params_p, clip_a, clip_b)
+    cross = [r["recon_cross_clip_psnr"] for r in report.values()]
+    alive = [r["alive_y"] for r in report.values()]
+    collapsed = min(cross) > GATE_CROSS_CLIP_DB or max(alive) == 0.0
+    status = "COLLAPSED" if collapsed else "alive"
+    print(f"[gate][{variant}] step {step_no}: {status} "
+          f"cross_clip_psnr={[round(c, 1) for c in cross]} "
+          f"alive_y={[round(a, 3) for a in alive]}", flush=True)
+    return not collapsed, report
+
+
 def train_variant(variant: str, steps: int, dm, budget_s: float,
-                  seed: int = 0, params_i=None):
+                  seed: int = 0, params_i=None, gate_clips=None):
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
     from ssgvc_tpu.training.trainer import Trainer
 
@@ -125,21 +158,22 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
     cfg.lambda_normalize = LNORM
     trainer = Trainer(
         cfg, total_iters=steps,
-        dmc_cfg=DMCConfig.variant(variant, **MID_DMC),
+        dmc_cfg=DMCConfig.variant(variant, recon_residual=RECON_SKIP,
+                                  **MID_DMC),
         dmci_cfg=DMCIConfig(**MID_DMCI),
     )
     it = dm.train_iter()
     first = next(it)
     batch0 = {k: jnp.asarray(v) for k, v in first.items()}
     params_p = None
-    ckpt_path = f"artifacts/rd_ckpt_{variant}"
-    if os.path.isdir(ckpt_path):
+    path = ckpt_path(variant)
+    if os.path.isdir(path):
         # resume an interrupted run's periodic checkpoint (params only;
         # optimizer state restarts, which the cosine schedule tolerates)
         from ssgvc_tpu.utils.checkpoint import restore_checkpoint
-        ck = restore_checkpoint(ckpt_path)
+        ck = restore_checkpoint(path)
         params_i, params_p = ck["params_i"], ck["params_p"]
-        print(f"[{variant}] resuming params from {ckpt_path}")
+        print(f"[{variant}] resuming params from {path}")
     state = trainer.init_state(jax.random.PRNGKey(seed), batch0,
                                params_i=params_i, params_p=params_p)
     step = trainer.jit_train_step()
@@ -148,6 +182,7 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
     from ssgvc_tpu.utils.checkpoint import save_checkpoint
     t0 = time.perf_counter()
     last_save = t0
+    gate_pending = gate_clips is not None and params_p is None
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
         qp = jnp.int32(sample_qp(host_rng))
@@ -157,30 +192,40 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
             print(f"[{variant}] step {i}: loss {float(aux['loss']):.3f} "
                   f"bpp {float(aux['bpp']):.4f} psnr {float(aux['psnr']):.2f}"
                   f" ({time.perf_counter() - t0:.0f}s)", flush=True)
+        if gate_pending and i >= GATE_STEP:
+            gate_pending = False
+            ok, _ = liveness_gate(trainer, jax.device_get(state),
+                                  gate_clips[0], gate_clips[1], variant, i)
+            if not ok:
+                print(f"[gate][{variant}] aborting cycle at step {i} — "
+                      f"collapsed run, checkpoint NOT saved", flush=True)
+                return trainer, jax.device_get(state), False
         # periodic checkpoint: an interrupted run loses <=10 min, and
-        # rd_continue can always pick up from artifacts/rd_ckpt_{variant}
+        # rd_continue can always pick up from ckpt_path(variant)
         if time.perf_counter() - last_save > 600.0:
             st = jax.device_get(state)
-            save_checkpoint(f"artifacts/rd_ckpt_{variant}",
+            save_checkpoint(path,
                             {"params_p": st.params_p, "params_i": st.params_i})
             last_save = time.perf_counter()
         if time.perf_counter() - t0 > budget_s:
             print(f"[{variant}] budget hit at step {i}")
             break
     print(f"[{variant}] trained in {time.perf_counter() - t0:.1f}s")
-    return trainer, jax.device_get(state)
+    return trainer, jax.device_get(state), True
 
 
 def main():
-    global MID_DMC, MID_DMCI, LNORM
+    global MID_DMC, MID_DMCI, LNORM, RECON_SKIP, PROFILE
     argv = sys.argv[1:]
     LNORM = "--lnorm" in argv
+    RECON_SKIP = "--recon-skip" in argv
     steps = int(argv[0]) if argv and not argv[0].startswith("-") else 12000
     budget_min = (float(argv[argv.index("--budget-min") + 1])
                   if "--budget-min" in argv else 120.0)
     tiny = "--profile" in argv and argv[argv.index("--profile") + 1] == "tiny"
     if tiny:
         MID_DMC, MID_DMCI = TINY_DMC, TINY_DMCI
+        PROFILE = "tiny"
     # budget split: ~20% DMCI, ~40% each DMC variant
     total_s = budget_min * 60.0
 
@@ -205,8 +250,15 @@ def main():
     eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                   for i in range(6)]
 
+    # gate clips at the train crop (cheap: 2 clips x 3 QPs forward passes)
+    gate_ds = SyntheticClipDataset(num_clips=4, seq_len=2, crop_size=crop,
+                                   seed=555, texture="smooth")
+    gate_clips = [gate_ds.__getitem__(i, rng=np.random.default_rng(600 + i))
+                  for i in range(2)]
+
     results = {"steps": steps, "budget_min": budget_min,
-               "lambda_normalize": LNORM,
+               "lambda_normalize": LNORM, "recon_residual": RECON_SKIP,
+               "profile": PROFILE,
                "model": {"dmc": MID_DMC, "dmci": MID_DMCI}, "variants": {}}
 
     def _save_partial():
@@ -219,8 +271,13 @@ def main():
 
     trained = {}
     for variant in ("performance", "plain"):
-        trainer, state = train_variant(variant, steps, dm, total_s * 0.4,
-                                       params_i=params_i)
+        trainer, state, ok = train_variant(variant, steps, dm, total_s * 0.4,
+                                           params_i=params_i,
+                                           gate_clips=gate_clips)
+        if not ok:
+            results["variants"][variant] = {"gate": "aborted_collapse"}
+            _save_partial()
+            continue
         index_map = list(trainer.cfg.compression.index_map)
         qp_shift = list(trainer.dmc_cfg.qp_shift)
 
@@ -236,7 +293,7 @@ def main():
         results["variants"][variant] = {"estimated_rd": curve}
         trained[variant] = (trainer, state)
         from ssgvc_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(f"artifacts/rd_ckpt_{variant}",
+        save_checkpoint(ckpt_path(variant),
                         {"params_p": state.params_p,
                          "params_i": state.params_i})
         _save_partial()  # partial artifact survives an interrupted run
@@ -245,7 +302,13 @@ def main():
         print(f"[{variant}]     roi_psnr="
               f"{[round(p,2) for p in curve['roi_psnr']]}")
         print(f"[{variant}]     msssim="
-              f"{[round(m,4) for m in curve['msssim']]}", flush=True)
+              f"{[round(m, 4) if m is not None else None for m in curve['msssim']]}",
+              flush=True)
+
+    if len(trained) < 2:
+        print("[bd] skipped: a variant was gate-aborted")
+        _save_partial()
+        return
 
     # matched-rate comparison: BD-rate of performance vs plain on ROI PSNR
     perf = results["variants"]["performance"]["estimated_rd"]

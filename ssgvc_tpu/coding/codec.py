@@ -268,8 +268,11 @@ class VideoCodec:
         return m.apply({"params": params}, method=run)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _dmc_stage_c(self, params, y_hat_0, means1, y_q_r1, q_dec, qp, ctx):
-        """Shared: restore pass 1, dequantize, synthesize frame + feature."""
+    def _dmc_stage_c(self, params, y_hat_0, means1, y_q_r1, q_dec, qp, ctx,
+                     prev_frame):
+        """Shared: restore pass 1, dequantize, synthesize frame + feature.
+        ``prev_frame`` (the DPB frame) feeds the recon skip when the model
+        was trained with recon_residual; unused (and DCE'd) otherwise."""
         m = self.dmc
 
         def run(mod):
@@ -280,7 +283,9 @@ class VideoCodec:
             q_decoder = jnp.take(mod.q_decoder, qp, axis=0).reshape(1, 1, 1, -1)
             q_recon = jnp.take(mod.q_recon, qp, axis=0).reshape(1, 1, 1, -1)
             feature = mod.decoder(y_hat, ctx, q_decoder)
-            x_hat = mod.recon_generation_net(feature, q_recon)
+            x_hat = mod.recon_generation_net(
+                feature, q_recon,
+                prev=prev_frame if mod.cfg.recon_residual else None)
             if mod.cfg.packed_io:
                 # DPB keeps the packed frame (the next P-frame's adaptor
                 # consumes it directly); the API returns the raw frame
@@ -336,7 +341,8 @@ class VideoCodec:
         if skip:
             y_q_r1 = jnp.asarray(y_q_r1_np)
         cres = self._dmc_stage_c(self.params_p, b["y_hat_0"], b["means1"],
-                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"])
+                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"],
+                                 dpb["frame"])
 
         packed0 = _pack(y_q_r0_np, np.asarray(a["idx0"]))
         packed1 = _pack(y_q_r1_np, np.asarray(b["idx1"]))
@@ -415,7 +421,8 @@ class VideoCodec:
         y_q_r1 = self._decode_y_pass(b["idx1"], b.get("keep1") if skip else None)
 
         cres = self._dmc_stage_c(self.params_p, b["y_hat_0"], b["means1"],
-                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"])
+                                 y_q_r1, b["q_dec"], qp_j, fe["ctx"],
+                                 dpb["frame"])
         self.dec_time = time.perf_counter() - t0
         return {"x_hat": cres["x_hat"],
                 "dpb": {"frame": cres["frame_dpb"], "feature": cres["feature"]},

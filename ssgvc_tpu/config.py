@@ -73,6 +73,15 @@ class DMCConfig:
     # Geometric QP ramp for q_encoder/q_decoder at INIT (see DMCIConfig.
     # qp_ramp_init — same rationale; from-scratch variable-rate training).
     qp_ramp_init: bool = True
+    # recon_residual: from-scratch training aid. Zero-inits the decoder's
+    # final projection and the recon head and adds skip connections (decoder
+    # += ctx, recon += previous decoded frame), so a fresh model reconstructs
+    # the previous frame EXACTLY at step 0 (~27-30 dB copy-prev bound on the
+    # synthetic clips) instead of spending its whole budget climbing out of a
+    # random init (measured: 16 dB after 6k CPU steps without it). Same
+    # parameter tree/shapes as the default, but NOT for imported reference
+    # checkpoints (their trained head + the skip would double the signal).
+    recon_residual: bool = False
 
     @staticmethod
     def variant(name: str, **kw) -> "DMCConfig":

@@ -95,11 +95,14 @@ class PatchUpConv(nn.Module):
     out_ch: int          # channels AFTER the shuffle
     r: int
     dtype: Optional[Dtype] = None
+    zero_init: bool = False   # ReZero-style residual tails
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         crr = self.out_ch * self.r * self.r
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel",
+                            nn.initializers.zeros if self.zero_init
+                            else nn.initializers.lecun_normal(),
                             (1, 1, x.shape[-1], crr), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (crr,), jnp.float32)
         dt = self.dtype or x.dtype

@@ -118,18 +118,25 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, x, ctx, quant_step):
         c = self.cfg
+        # recon_residual: the final projection starts at zero and the
+        # (identity-at-init) extracted context is added back, so a fresh
+        # decoder emits exactly the DPB feature — see DMCConfig.recon_residual
         f = SubpelConv2x(c.ch_d, 3, padding=1, name="up", dtype=self.dtype)(x)
         if c.legacy_old:
             f = DepthConvBlock(c.ch_d, name="conv1_0", dtype=self.dtype)((f, ctx))
             f = DepthConvBlock(c.ch_d, name="conv1_1", dtype=self.dtype)(f)
             f = DepthConvBlock(c.ch_d, name="conv1_2", dtype=self.dtype)(f)
-            f = conv(c.ch_d, 1, name="conv2", dtype=self.dtype)(f)
-            return f * quant_step
+            f = conv(c.ch_d, 1, name="conv2", dtype=self.dtype,
+                     zero_init=c.recon_residual)(f)
+            f = f * quant_step
+            return f + ctx if c.recon_residual else f
         f = f * quant_step
         f = DepthConvBlock(c.ch_d, name="conv_0", dtype=self.dtype)((f, ctx))
         f = DepthConvBlock(c.ch_d, name="conv_1", dtype=self.dtype)(f)
         f = DepthConvBlock(c.ch_d, name="conv_2", dtype=self.dtype)(f)
-        return conv(c.ch_d, 1, name="proj", dtype=self.dtype)(f)
+        f = conv(c.ch_d, 1, name="proj", dtype=self.dtype,
+                 zero_init=c.recon_residual)(f)
+        return f + ctx if c.recon_residual else f
 
 
 class ReconGeneration(nn.Module):
@@ -140,8 +147,12 @@ class ReconGeneration(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, quant_step):
+    def __call__(self, x, quant_step, prev=None):
         c = self.cfg
+        # recon_residual: zero-init head + previous-frame skip — a fresh
+        # model reconstructs the previous decoded frame exactly (copy-prev
+        # bound from step 0); see DMCConfig.recon_residual
+        residual = c.recon_residual and prev is not None
         f = DepthConvBlock(c.ch_recon, name="conv_0", dtype=self.dtype)(x)
         f = DepthConvBlock(c.ch_recon, name="conv_1", dtype=self.dtype)(f)
         f = DepthConvBlock(c.ch_recon, name="conv_2", dtype=self.dtype)(f)
@@ -150,11 +161,15 @@ class ReconGeneration(nn.Module):
         if c.packed_io:
             # emit the PACKED frame (B, H/8, W/8, 192); clip commutes with
             # the (skipped) channel->pixel permutation
-            f = conv(c.src, 1, name="head", dtype=self.dtype)(f)
-            return jnp.clip(f, 0.0, 1.0)
-        # 1x1 head + pixel_shuffle(8) in one op (same head params)
-        f = PatchUpConv(c.src // (c.patch_size ** 2), c.patch_size,
-                        name="head", dtype=self.dtype)(f)
+            f = conv(c.src, 1, name="head", dtype=self.dtype,
+                     zero_init=c.recon_residual)(f)
+        else:
+            # 1x1 head + pixel_shuffle(8) in one op (same head params)
+            f = PatchUpConv(c.src // (c.patch_size ** 2), c.patch_size,
+                            name="head", dtype=self.dtype,
+                            zero_init=c.recon_residual)(f)
+        if residual:
+            f = f + prev.astype(f.dtype)
         return jnp.clip(f, 0.0, 1.0)
 
 
@@ -483,7 +498,9 @@ class DMC(nn.Module):
                                   rngs[1], train)
 
         feature_out = self.decoder(prior.y_hat, ctx, q_decoder)
-        x_hat = self.recon_generation_net(feature_out, q_recon)
+        x_hat = self.recon_generation_net(
+            feature_out, q_recon,
+            prev=dpb["frame"] if c.recon_residual else None)
 
         pixel_num = x.shape[1] * x.shape[2]
         if c.packed_io:

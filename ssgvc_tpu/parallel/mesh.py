@@ -64,6 +64,13 @@ def make_mesh(n_devices: Optional[int] = None,
     maybe_init_distributed()
     devices = jax.devices()
     if n_devices is not None and n_devices > 0:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} visible ({[d.platform for d in devices]}). "
+                f"Lower num_devices, or set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+                f"virtual CPU mesh.")
         devices = devices[:n_devices]
     if len(axis_names) == 1:
         shape = (len(devices),)

@@ -474,8 +474,10 @@ class Trainer:
 
     def _log_recon_images(self, state: TrainState, batch, out_dir: str,
                           step: int):
-        """Original/recon panel from the current batch (reference
-        _log_images, trainer_seg_video_model.py:1353-1369)."""
+        """I- AND P-frame recon panels from the current batch (reference
+        _log_images, trainer_seg_video_model.py:1353-1369 — the reference
+        logs the P-model's recon, which is where training collapse shows;
+        the ROI mask is tinted on the original half)."""
         try:
             from ..utils.logging import is_main_process
             from ..utils.visualize import save_recon_panel
@@ -489,6 +491,24 @@ class Trainer:
             os.makedirs(out_dir, exist_ok=True)
             save_recon_panel(orig, recon,
                              os.path.join(out_dir, f"recon_step{step}.png"))
+            # the TRAINED model's first P-frame, conditioned on the I recon
+            if frames.shape[1] > 1:
+                masks = batch.get("masks")
+                m1 = (jnp.asarray(masks[:1, 1]) if masks is not None
+                      else None)
+                dpb = {"frame": i_out["dpb"]["frame"],
+                       "feature": jnp.zeros(
+                           (1, frames.shape[2] // self.dmc.cfg.patch_size,
+                            frames.shape[3] // self.dmc.cfg.patch_size,
+                            self.dmc.cfg.ch_d), jnp.float32)}
+                p_out = self.dmc.apply(
+                    {"params": state.params_p}, jnp.asarray(frames[:, 1]),
+                    jnp.int32(32), dpb, after_i=True, mask=m1, train=False)
+                save_recon_panel(
+                    np.asarray(frames[0, 1], np.float32),
+                    np.asarray(p_out["dpb"]["frame"][0], np.float32),
+                    os.path.join(out_dir, f"recon_p_step{step}.png"),
+                    mask=None if m1 is None else np.asarray(m1[0]))
         except Exception as e:  # pragma: no cover - logging is best-effort
             print(f"[images] recon panel failed: {e}")
 

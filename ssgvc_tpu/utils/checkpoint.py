@@ -75,12 +75,53 @@ class CheckpointManager:
 
 
 def restore_checkpoint(path: str, target=None):
+    """Restore an orbax checkpoint. With ``target``, rebuild-only params the
+    checkpoint predates (torch_import.DEFAULT_OK_LEAVES, e.g. ``z_gain``)
+    are filled from the target's init values instead of failing — the same
+    tolerance the torch-import path applies (round-3 advisor finding)."""
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            return ckptr.restore(os.path.abspath(path), item=target)
+            try:
+                return ckptr.restore(os.path.abspath(path), item=target)
+            except Exception:
+                # tolerant path: fill rebuild-only leaves from the template
+                raw = ckptr.restore(os.path.abspath(path))
+                return _graft_with_defaults(target, raw, path)
         return ckptr.restore(os.path.abspath(path))
+
+
+def _graft_with_defaults(tmpl, saved, path: str):
+    from .torch_import import DEFAULT_OK_LEAVES
+
+    if hasattr(tmpl, "_fields"):  # NamedTuple (orbax stores field-name dict)
+        vals = {f: saved[f] if isinstance(saved, dict) else s
+                for f, s in zip(tmpl._fields,
+                                saved.values() if isinstance(saved, dict)
+                                else saved)}
+        return type(tmpl)(**{
+            f: _graft_with_defaults(getattr(tmpl, f), vals[f], path)
+            for f in tmpl._fields})
+    if isinstance(tmpl, dict):
+        out = {}
+        for k, v in tmpl.items():
+            if isinstance(saved, dict) and k in saved:
+                out[k] = _graft_with_defaults(v, saved[k], path)
+            elif k in DEFAULT_OK_LEAVES:
+                out[k] = v  # keep the (identity) init value
+            else:
+                raise KeyError(
+                    f"checkpoint {path} missing key {k!r} and it is not a "
+                    f"rebuild-default leaf ({sorted(DEFAULT_OK_LEAVES)})")
+        return out
+    if isinstance(tmpl, (tuple, list)):
+        vals = list(saved.values()) if isinstance(saved, dict) else saved
+        return type(tmpl)(
+            _graft_with_defaults(t, s, path) for t, s in zip(tmpl, vals))
+    import jax.numpy as jnp
+
+    return jnp.asarray(saved, dtype=getattr(tmpl, "dtype", None))
 
 
 def load_pretrained(trainer, cfg):

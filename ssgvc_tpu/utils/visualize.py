@@ -67,13 +67,18 @@ def visualize_q_scale(q_table: np.ndarray, out_dir: str, name: str = "q_scale",
 
 
 def save_recon_panel(original_ycbcr: np.ndarray, recon_ycbcr: np.ndarray,
-                     out_path: str) -> str:
+                     out_path: str, mask: np.ndarray = None) -> str:
     """Side-by-side original/reconstruction panel (YCbCr -> RGB), like the
-    trainer's TensorBoard image logging."""
+    trainer's TensorBoard image logging. ``mask`` (H, W, 1) tints the ROI
+    green on the original half so segmentation guidance is visible."""
     from PIL import Image
 
     orig = ycbcr2rgb_np(np.asarray(original_ycbcr))
     rec = ycbcr2rgb_np(np.asarray(recon_ycbcr))
+    if mask is not None:
+        m = np.asarray(mask)[..., 0] > 0
+        green = np.array([0.0, 1.0, 0.0], orig.dtype)
+        orig = np.where(m[..., None], 0.65 * orig + 0.35 * green, orig)
     panel = np.concatenate([orig, rec], axis=1)
     img = (np.clip(panel, 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -317,3 +317,26 @@ def test_profile_model_cfgs():
     assert full_dmci.enc_dec > tiny_dmci.enc_dec
     with pytest.raises(ValueError):
         profile_model_cfgs("nope")
+
+
+def test_restore_fills_rebuild_default_leaves(tmp_path):
+    """A checkpoint saved before a rebuild-only param existed (e.g. z_gain)
+    must still restore against a template that has it — the leaf keeps its
+    (identity) init value (round-3 advisor finding)."""
+    from ssgvc_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    old = {"params": {"enc": {"w": jnp.ones((2, 2))}}}
+    path = save_checkpoint(str(tmp_path / "old"), old)
+    template = {"params": {"enc": {"w": jnp.zeros((2, 2))},
+                           "z_gain": jnp.full((4,), 1.0)}}
+    restored = restore_checkpoint(path, target=template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["enc"]["w"]),
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["z_gain"]),
+                                  np.ones((4,)))
+
+    # a genuinely missing non-default leaf still raises
+    bad_template = {"params": {"enc": {"w": jnp.zeros((2, 2))},
+                               "brand_new": jnp.zeros((1,))}}
+    with pytest.raises(Exception):
+        restore_checkpoint(path, target=bad_template)

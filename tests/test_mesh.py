@@ -93,3 +93,10 @@ def test_replicated_sharding():
     sh = mesh_mod.replicated(m)
     x = jax.device_put(jnp.ones((4, 4)), sh)
     np.testing.assert_array_equal(np.asarray(x), np.ones((4, 4)))
+
+
+def test_make_mesh_rejects_too_many_devices():
+    # round-3 verdict item #8: a clear error instead of silent truncation
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="requested but only"):
+        mesh_mod.make_mesh(n + 1)

@@ -133,11 +133,12 @@ def liveness_gate(trainer, state, clip_a, clip_b, variant, step_no):
     """Go/no-go collapse gate (round-3 verdict item #2): abort a long cycle
     early instead of burning the full budget on a collapsed run. Returns
     (ok, report)."""
-    from ssgvc_tpu.training.evaluate import latent_liveness
+    from ssgvc_tpu.training.evaluate import (latent_liveness,
+                                             liveness_collapsed)
     report = latent_liveness(trainer.dmc, state.params_p, clip_a, clip_b)
     cross = [r["recon_cross_clip_psnr"] for r in report.values()]
     alive = [r["alive_y"] for r in report.values()]
-    collapsed = min(cross) > GATE_CROSS_CLIP_DB or max(alive) == 0.0
+    collapsed = liveness_collapsed(report, GATE_CROSS_CLIP_DB)
     status = "COLLAPSED" if collapsed else "alive"
     print(f"[gate][{variant}] step {step_no}: {status} "
           f"cross_clip_psnr={[round(c, 1) for c in cross]} "

@@ -173,6 +173,28 @@ def main():
                 f" bpp / {st['coded_eval']['mean_p_psnr']} dB mean-P "
                 f"(total {e2e['total_seconds']}s, CPU)", ""]
 
+    # ---- transfer learning status ---------------------------------------
+    out += [
+        "## Pretrained DCVC-RT checkpoint import", "",
+        "The reference finetunes from `cvpr2025_image.pth.tar` / "
+        "`cvpr2025_video.pth.tar` (reference trainer_seg_video_model.py:"
+        "825-846). Those weights are **not obtainable in this environment** "
+        "(no network egress), so the import path is validated structurally "
+        "instead: `tests/test_model_parity.py` + `test_blocks_parity.py` + "
+        "`test_entropy_parity.py` build the actual reference PyTorch models "
+        "from `/root/reference`, convert their state dicts through "
+        "`ssgvc_tpu/utils/torch_import.py` (prefix normalization, 3→4ch "
+        "conv inflation, wrapper unwrap), and compare whole forward passes "
+        "to this rebuild. A user with the real checkpoints runs:", "",
+        "```bash",
+        "python trainer_seg_video_model.py --config "
+        "video_compression_config.yaml \\",
+        "  image_checkpoint_path=checkpoints/cvpr2025_image.pth.tar \\",
+        "  video_checkpoint_path=checkpoints/cvpr2025_video.pth.tar",
+        "```", "",
+        "which loads DMCI strictly and the video model tolerantly "
+        "(`ssgvc_tpu/utils/checkpoint.py load_pretrained`).", ""]
+
     # ---- multichip ------------------------------------------------------
     rows = []
     for path in sorted(glob.glob(os.path.join(REPO, "MULTICHIP_r*.json"))):

@@ -255,6 +255,55 @@ class ClipDataModule:
                           seed=self.seed + 1)
 
 
+class _SingleImageClipShim:
+    """Adapt a single-image dataset to the (frames, masks) clip protocol
+    ClipDataModule batches (T=1 clips; intra-model training)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx, rng=None):
+        img = self.ds.__getitem__(idx, rng=rng)
+        frames = img[None]
+        return frames, np.zeros(frames.shape[:3] + (1,), np.float32)
+
+
+def _make_vimeo(dtype: str, ds_cfg, seq_len: int, crop: int):
+    """The reference UnifiedVideoDataModule's vimeo dispatch
+    (src/dataset/datamodule.py:165-250): vimeo_septuplet (mp4/sequence) /
+    vimeo_image (7-PNG) / vimeo_mp4 (flat dir, optional split generation) /
+    vimeo_single_image. Returns None when nothing exists on disk (the
+    caller falls back to synthetic)."""
+    from .vimeo import (Vimeo90kDataset, Vimeo90kImageDataset,
+                        Vimeo90kMP4Dataset, Vimeo90kSeptupletDataset)
+
+    root = ds_cfg.data_dir
+    try:
+        if dtype == "vimeo_septuplet":
+            return Vimeo90kSeptupletDataset(root, n_frames=seq_len,
+                                            crop_size=crop)
+        if dtype == "vimeo_mp4":
+            return Vimeo90kMP4Dataset(
+                root, crop_size=crop, n_frames=seq_len,
+                generate_split=True,
+                train_split=getattr(ds_cfg, "train_split", 0.8),
+                use_cache=getattr(ds_cfg, "use_cache", True))
+        if dtype == "vimeo_single_image":
+            return _SingleImageClipShim(
+                Vimeo90kImageDataset(root, crop_size=crop))
+        # 'vimeo' / 'vimeo_image': the canonical 7-PNG layout
+        if os.path.isdir(os.path.join(root, "sequences")):
+            return Vimeo90kDataset(root, seq_len=min(seq_len, 7),
+                                   crop_size=crop)
+    except (FileNotFoundError, RuntimeError, ValueError) as e:
+        print(f"[data] vimeo dataset unavailable ({e}); "
+              f"falling back to synthetic")
+    return None
+
+
 def make_datamodule(cfg) -> ClipDataModule:
     """Unified datamodule dispatch (the reference's UnifiedVideoDataModule,
     src/dataset/datamodule.py:15-321): waymo TFRecords / vimeo septuplets /
@@ -268,11 +317,7 @@ def make_datamodule(cfg) -> ClipDataModule:
     dataset = None
     if not ds_cfg.synthetic:
         if dtype.startswith("vimeo"):
-            from .vimeo import Vimeo90kDataset
-            if os.path.isdir(os.path.join(ds_cfg.data_dir, "sequences")):
-                dataset = Vimeo90kDataset(ds_cfg.data_dir,
-                                          seq_len=min(seq_len, 7),
-                                          crop_size=crop)
+            dataset = _make_vimeo(dtype, ds_cfg, seq_len, crop)
         else:
             paths = sorted(glob.glob(os.path.join(ds_cfg.data_dir,
                                                   "*.tfrecord")))

@@ -103,24 +103,49 @@ class Vimeo90kImageDataset:
 
 class Vimeo90kMP4Dataset:
     """MP4-backed variant (the reference's mp4 Vimeo loader,
-    src/dataset/vimeo_dataset.py). Decodes through whichever of
-    imageio.v3 / av / cv2 is importable at runtime; raises with a clear
-    message when none is (this image ships none — use the 7-PNG
-    :class:`Vimeo90kDataset` instead)."""
+    src/dataset/dataset_vimeo.py Vimeo90kMP4Dataset). Two layouts:
+
+      * ``sequences_mp4/<seq>.mp4`` with '<a>/<b>'-style split entries
+      * a flat directory of mp4s (reference ``video_dir`` mode) whose split
+        entries are plain filenames — ``generate_split=True`` writes the
+        sep_trainlist/sep_testlist files when missing
+        (:func:`generate_train_test_split`), and ``use_cache`` keeps a
+        filename->frame-count cache so short clips are filtered without
+        re-opening every container (reference cache_video_frames_info).
+
+    ``n_frames``: decode a random window of that length (reference
+    behavior); None returns the whole clip."""
 
     def __init__(self, root: str, split: str = "train",
-                 crop_size: Optional[int] = 256, to_ycbcr: bool = True):
+                 crop_size: Optional[int] = 256, to_ycbcr: bool = True,
+                 n_frames: Optional[int] = None,
+                 generate_split: bool = False, train_split: float = 0.8,
+                 use_cache: bool = True):
         self.decode = _find_mp4_decoder()
         self.root = root
         self.crop_size = crop_size
         self.to_ycbcr = to_ycbcr
+        self.n_frames = n_frames
         list_file = os.path.join(
             root, "sep_trainlist.txt" if split == "train"
             else "sep_testlist.txt")
+        if not os.path.exists(list_file) and generate_split:
+            generate_train_test_split(root, train_split)
         with open(list_file) as f:
             names = [ln.strip() for ln in f if ln.strip()]
-        self.paths = [os.path.join(root, "sequences_mp4", n + ".mp4")
-                      for n in names]
+        self.paths = [
+            os.path.join(root, n) if n.lower().endswith(".mp4")
+            else os.path.join(root, "sequences_mp4", n + ".mp4")
+            for n in names]
+        if n_frames and use_cache:
+            cache = os.path.join(root, "video_frames_cache.txt")
+            info = load_video_frames_info(cache)
+            missing = [p for p in self.paths
+                       if os.path.basename(p) not in info]
+            if missing:
+                info.update(cache_video_frames_info(self.paths, cache))
+            self.paths = [p for p in self.paths
+                          if info.get(os.path.basename(p), 0) >= n_frames]
 
     def __len__(self):
         return len(self.paths)
@@ -130,6 +155,13 @@ class Vimeo90kMP4Dataset:
         rng = rng or np.random.default_rng()
         frames = self.decode(self.paths[idx])  # (T, H, W, 3) uint8 RGB
         frames = frames.astype(np.float32) / 255.0
+        if self.n_frames:
+            total = frames.shape[0]
+            if total < self.n_frames:
+                raise RuntimeError(f"{self.paths[idx]} has {total} frames "
+                                   f"< {self.n_frames}")
+            start = int(rng.integers(0, total - self.n_frames + 1))
+            frames = frames[start:start + self.n_frames]
         if self.to_ycbcr:
             frames = np.stack([np.clip(rgb2ycbcr_np(f), 0.0, 1.0)
                                for f in frames])
@@ -145,6 +177,126 @@ class Vimeo90kMP4Dataset:
             frames = frames[:, top:top + c, left:left + c]
         masks = np.zeros(frames.shape[:3] + (1,), np.float32)
         return frames, masks
+
+
+class Vimeo90kSeptupletDataset:
+    """MP4-per-sequence septuplets (reference Vimeo90kSeptupletDataset,
+    src/dataset/dataset_vimeo.py:112): layout
+    ``<root>/sequences/<a>/<b>/<b>.mp4`` with sep_trainlist/sep_testlist
+    split files; each item decodes a random ``n_frames`` window."""
+
+    def __init__(self, root: str, split: str = "train", n_frames: int = 7,
+                 crop_size: Optional[int] = 128, to_ycbcr: bool = True):
+        self.decode = _find_mp4_decoder()
+        self.root = root
+        self.n_frames = n_frames
+        self.crop_size = crop_size
+        self.to_ycbcr = to_ycbcr
+        names = _read_split_file(
+            root, "sep_trainlist.txt" if split == "train"
+            else "sep_testlist.txt")
+        if names is None:
+            raise FileNotFoundError(
+                f"no sep_{split}list file under {root} "
+                f"(generate_train_test_split can create one)")
+        self.paths = []
+        for seq in names:  # '00001/0010' -> sequences/00001/0010/0010.mp4
+            base = os.path.basename(seq)
+            p = os.path.join(root, "sequences", seq, base + ".mp4")
+            if os.path.exists(p):
+                self.paths.append(p)
+        if not self.paths:
+            raise RuntimeError(f"no septuplet mp4 files under {root}")
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int,
+                    rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        frames = self.decode(self.paths[idx]).astype(np.float32) / 255.0
+        total = frames.shape[0]
+        if total < self.n_frames:
+            raise RuntimeError(
+                f"{self.paths[idx]} has {total} frames < {self.n_frames}")
+        start = int(rng.integers(0, total - self.n_frames + 1))
+        frames = frames[start:start + self.n_frames]
+        if self.to_ycbcr:
+            frames = np.stack([np.clip(rgb2ycbcr_np(f), 0.0, 1.0)
+                               for f in frames])
+        if self.crop_size:
+            c = self.crop_size
+            t_, h, w, _ = frames.shape
+            top = int(rng.integers(0, max(1, h - c + 1)))
+            left = int(rng.integers(0, max(1, w - c + 1)))
+            frames = frames[:, top:top + c, left:left + c]
+        masks = np.zeros(frames.shape[:3] + (1,), np.float32)
+        return frames, masks
+
+
+def generate_train_test_split(video_dir: str, train_split: float = 0.8,
+                              train_filename: str = "sep_trainlist.txt",
+                              test_filename: str = "sep_testlist.txt",
+                              seed: int = 42):
+    """Write sep_trainlist/sep_testlist from the mp4 files in ``video_dir``
+    (reference generate_train_test_split, dataset_vimeo.py:325-364):
+    deterministic shuffle, train_split fraction to the train file."""
+    files = sorted(f for f in os.listdir(video_dir)
+                   if f.lower().endswith(".mp4"))
+    rng = np.random.default_rng(seed)
+    files = [files[i] for i in rng.permutation(len(files))]
+    cut = int(len(files) * train_split)
+    train, test = files[:cut], files[cut:]
+    with open(os.path.join(video_dir, train_filename), "w") as f:
+        f.writelines(n + "\n" for n in train)
+    with open(os.path.join(video_dir, test_filename), "w") as f:
+        f.writelines(n + "\n" for n in test)
+    return train, test
+
+
+def cache_video_frames_info(video_files, output_path: str):
+    """filename -> frame count cache (reference cache_video_frames_info,
+    dataset_vimeo.py:367-395): avoids re-opening every video per dataset
+    construction."""
+    decode_count = _find_frame_counter()
+    info = {}
+    for path in video_files:
+        name = os.path.basename(path)
+        if name not in info:
+            info[name] = decode_count(path)
+    with open(output_path, "w") as f:
+        f.writelines(f"{n},{c}\n" for n, c in info.items())
+    return info
+
+
+def load_video_frames_info(cache_path: str):
+    """Load the frame-count cache (reference load_video_frames_info,
+    dataset_vimeo.py:398-418)."""
+    info = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            for line in f.read().splitlines():
+                parts = line.strip().split(",")
+                if len(parts) == 2:
+                    info[parts[0]] = int(parts[1])
+    return info
+
+
+def _find_frame_counter():
+    """Cheap frame counting: container metadata when cv2 is importable,
+    full decode otherwise."""
+    try:
+        import cv2
+
+        def _count(p):
+            cap = cv2.VideoCapture(p)
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            return n
+        return _count
+    except ImportError:  # pragma: no cover - cv2 is in this image
+        decode = _find_mp4_decoder()
+        return lambda p: decode(p).shape[0]
 
 
 def _find_mp4_decoder():

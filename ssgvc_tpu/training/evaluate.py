@@ -110,6 +110,17 @@ def latent_liveness(dmc, params_p, clip_a, clip_b,
     return report
 
 
+def liveness_collapsed(report: Dict, cross_clip_db: float = 25.0) -> bool:
+    """Go/no-go verdict over a :func:`latent_liveness` report: True when the
+    decoder is input-independent (recons of DIFFERENT clips more similar
+    than ``cross_clip_db`` at every QP) or the quantized latent is all-zero
+    at every QP. Long-run harnesses abort a cycle on True instead of
+    burning the full budget (round-3 verdict item #2)."""
+    cross = [r["recon_cross_clip_psnr"] for r in report.values()]
+    alive = [r["alive_y"] for r in report.values()]
+    return min(cross) > cross_clip_db or max(alive) == 0.0
+
+
 def evaluate_gop_coded(codec, frames, masks, qp: int,
                        index_map: Sequence[int],
                        qp_shift: Sequence[int]) -> List[Dict]:

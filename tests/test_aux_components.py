@@ -340,3 +340,87 @@ def test_restore_fills_rebuild_default_leaves(tmp_path):
                                "brand_new": jnp.zeros((1,))}}
     with pytest.raises(Exception):
         restore_checkpoint(path, target=bad_template)
+
+
+def _write_mp4(path, n_frames=8, size=(64, 48), seed=0):
+    import cv2
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, size)
+    assert w.isOpened()
+    for _ in range(n_frames):
+        w.write(rng.uniform(0, 255, (size[1], size[0], 3)).astype(np.uint8))
+    w.release()
+
+
+def test_vimeo_septuplet_mp4_dataset(tmp_path):
+    """Reference Vimeo90kSeptupletDataset layout:
+    sequences/<a>/<b>/<b>.mp4 + sep list with '<a>/<b>' entries."""
+    pytest.importorskip("cv2")
+    from ssgvc_tpu.data.vimeo import Vimeo90kSeptupletDataset
+
+    for seq in ("00001/0010", "00001/0011"):
+        base = os.path.basename(seq)
+        _write_mp4(str(tmp_path / "sequences" / seq / f"{base}.mp4"),
+                   n_frames=9)
+    (tmp_path / "sep_trainlist.txt").write_text("00001/0010\n00001/0011\n")
+
+    ds = Vimeo90kSeptupletDataset(str(tmp_path), n_frames=7, crop_size=32)
+    assert len(ds) == 2
+    frames, masks = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert frames.shape == (7, 32, 32, 3)
+    assert masks.shape == (7, 32, 32, 1) and masks.sum() == 0
+
+
+def test_vimeo_split_generation_and_frame_cache(tmp_path):
+    """generate_train_test_split + frame-count cache + flat-dir MP4 mode
+    (reference dataset_vimeo.py:325-418)."""
+    pytest.importorskip("cv2")
+    from ssgvc_tpu.data.vimeo import (Vimeo90kMP4Dataset,
+                                      cache_video_frames_info,
+                                      generate_train_test_split,
+                                      load_video_frames_info)
+
+    for i in range(5):
+        # one clip too short for a 7-frame window -> filtered by the cache
+        _write_mp4(str(tmp_path / f"clip{i}.mp4"),
+                   n_frames=4 if i == 4 else 8, seed=i)
+    train, test = generate_train_test_split(str(tmp_path), train_split=0.8)
+    assert len(train) == 4 and len(test) == 1
+    assert (tmp_path / "sep_trainlist.txt").exists()
+
+    info = cache_video_frames_info(
+        [str(tmp_path / f"clip{i}.mp4") for i in range(5)],
+        str(tmp_path / "cache.txt"))
+    assert set(info.values()) == {8, 4}
+    assert load_video_frames_info(str(tmp_path / "cache.txt")) == info
+
+    ds = Vimeo90kMP4Dataset(str(tmp_path), crop_size=32, n_frames=7,
+                            use_cache=True)
+    # every surviving entry decodes to a 7-frame window
+    assert all("clip" in p for p in ds.paths)
+    frames, masks = ds.__getitem__(0, rng=np.random.default_rng(2))
+    assert frames.shape == (7, 32, 32, 3)
+
+
+def test_make_datamodule_vimeo_septuplet_dispatch(tmp_path):
+    """make_datamodule routes dataset_type=vimeo_septuplet to the mp4
+    loader (reference UnifiedVideoDataModule dispatch)."""
+    pytest.importorskip("cv2")
+    from ssgvc_tpu.config import DatasetConfig
+    from ssgvc_tpu.data.dataset import make_datamodule
+
+    for seq in ("00001/0010", "00001/0011", "00001/0012"):
+        base = os.path.basename(seq)
+        _write_mp4(str(tmp_path / "sequences" / seq / f"{base}.mp4"),
+                   n_frames=6)
+    (tmp_path / "sep_trainlist.txt").write_text(
+        "00001/0010\n00001/0011\n00001/0012\n")
+
+    cfg = DatasetConfig(dataset_type="vimeo_septuplet",
+                        data_dir=str(tmp_path), batch_size=2, seq_len=4,
+                        crop_size=32, train_val_test_split=(1.0, 0.0, 0.0))
+    dm = make_datamodule(cfg)
+    batch = next(dm.train_iter())
+    assert batch["frames"].shape == (2, 4, 32, 32, 3)
+    assert batch["masks"].shape == (2, 4, 32, 32, 1)

@@ -108,3 +108,45 @@ def test_bd_metrics_nan_when_no_overlap():
 
     assert np.isnan(bd_rate([0.1, 0.2], [30, 31], [0.3, 0.4], [40, 41]))
     assert np.isnan(bd_psnr([0.1, 0.2], [30, 31], [0.5, 0.9], [40, 41]))
+
+
+def test_liveness_gate_fires_on_collapsed_model():
+    """A DMC whose q_encoder is zeroed emits all-zero quantized latents and
+    an input-independent recon — liveness_collapsed must return True; a
+    recon_residual model at init (recon == prev frame, which differs per
+    clip) must pass the gate."""
+    from ssgvc_tpu.training.evaluate import latent_liveness, liveness_collapsed
+
+    rng = np.random.default_rng(5)
+    clips = []
+    for s in range(2):
+        r = np.random.default_rng(40 + s)
+        base = r.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+        frames = np.stack([np.clip(
+            base + r.normal(0, 0.02, (16, 16, 3)), 0, 1).astype(np.float32)
+            for _ in range(2)])
+        frames = np.stack([np.kron(f, np.ones((4, 4, 1))).astype(np.float32)
+                           for f in frames])  # 64px, smooth
+        masks = np.zeros(frames.shape[:3] + (1,), np.float32)
+        clips.append((frames, masks))
+
+    cfg = DMCConfig.variant("plain", ch_d=16, ch_y=8, ch_z=8, ch_recon=16,
+                            recon_residual=True)
+    model = DMC(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(clips[0][0][1])[None]
+    dpb = {"frame": jnp.asarray(clips[0][0][0])[None],
+           "feature": jnp.zeros((1, 8, 8, 16))}
+    params = model.init({"params": key, "noise": key}, x, jnp.int32(32),
+                        dpb, after_i=True, train=False)["params"]
+
+    # healthy: recon == prev frame -> cross-clip recons differ
+    rep = latent_liveness(model, params, clips[0], clips[1])
+    assert not liveness_collapsed(rep)
+
+    # collapsed: kill the analysis transform -> alive_y == 0 everywhere
+    dead = dict(params)
+    dead["q_encoder"] = params["q_encoder"] * 0.0
+    rep_dead = latent_liveness(model, dead, clips[0], clips[1])
+    assert max(r["alive_y"] for r in rep_dead.values()) == 0.0
+    assert liveness_collapsed(rep_dead)

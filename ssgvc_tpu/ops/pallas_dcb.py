@@ -29,11 +29,14 @@ Forward-only: the training path keeps the XLA composition (autodiff).
 
 STATUS: verified bit-accurate in Pallas interpret mode (tests/
 test_pallas_dcb.py, max err ~2e-7 fp32). On this image's tunneled TPU the
-Mosaic compile goes through a remote-compile service; the one attempt did
-not return within 10 minutes (tunnel health issues at the time — cause not
-isolated), so SSGVC_PALLAS_DCB stays an opt-in experiment and the default
-bench path remains XLA. Re-validate on a directly-attached TPU before
-enabling in production.
+Mosaic compile goes through a remote-compile service; the round-3 attempt
+did not return within 10 minutes. Round-4 analysis: the fixed th=8 row
+tile oversubscribed VMEM at full-profile 1080p shapes (w=240, c=256 →
+~20MB of fp32 intermediates vs ~16MB/core), so the hang is consistent
+with a pathological spill schedule, not only tunnel health. Fixed by a
+VMEM-budgeted tile picker (_pick_tile) + computing the ffn chunk-add as
+two 2C-wide halves. SSGVC_PALLAS_DCB stays opt-in until re-validated on
+hardware (first relay window: compile once under timeout, A/B vs XLA).
 """
 
 from __future__ import annotations
@@ -99,9 +102,17 @@ def _dcb_kernel(x_ref, up_ref, dn_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     u = u + x_center
 
     # ---- ffn: 1x1 C->4C, wsilu, chunk-add, 1x1 2C->C + residual ----------
-    f = jnp.dot(u.astype(cdt), wf0_ref[:], preferred_element_type=jnp.float32)
-    f = _wsilu(f + bf0_ref[:].astype(jnp.float32))
-    f = f[:, : 2 * c] + f[:, 2 * c:]
+    # the 4C projection is computed as two 2C-column halves and summed:
+    # identical math to wsilu(u @ Wf0)[:, :2C] + [...][:, 2C:], but the
+    # peak live intermediate is (th*w, 2C) not (th*w, 4C) — the difference
+    # between fitting VMEM and spilling at 1080p full-profile shapes
+    uc = u.astype(cdt)
+    bf0 = bf0_ref[:].astype(jnp.float32)
+    f = _wsilu(jnp.dot(uc, wf0_ref[:, : 2 * c],
+                       preferred_element_type=jnp.float32) + bf0[:, : 2 * c])
+    f = f + _wsilu(jnp.dot(uc, wf0_ref[:, 2 * c:],
+                           preferred_element_type=jnp.float32)
+                   + bf0[:, 2 * c:])
     y = jnp.dot(f.astype(cdt), wf2_ref[:], preferred_element_type=jnp.float32)
     y = y + bf2_ref[:].astype(jnp.float32) + u
 
@@ -111,9 +122,25 @@ def _dcb_kernel(x_ref, up_ref, dn_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     y_ref[:] = y.reshape((th, w, c)).astype(cdt)
 
 
-def _pick_tile(h: int) -> int:
-    for th in (8, 4, 2, 1):
-        if h % th == 0:
+def _tile_vmem_bytes(th: int, w: int, c: int) -> int:
+    """Upper-bound the kernel's live VMEM for one grid step (fp32 bytes):
+    halo-extended input + dc_0 activation (th+2 rows), depthwise acc, u,
+    the 2C-wide ffn halves (x2 live during the chunk-add), the output tile,
+    and the weight blocks (dominated by the (c, 4c) ffn kernel)."""
+    rows = 4 * w * c * ((th + 2) * 2 + th * (1 + 1 + 2 * 2 + 1))
+    weights = 4 * c * c * (1 + 1 + 4 + 2)
+    return rows + weights
+
+
+def _pick_tile(h: int, w: int, c: int,
+               budget: int = 9 * 1024 * 1024) -> int:
+    """Largest row-tile dividing h whose working set fits a conservative
+    VMEM budget (half of the ~16MB/core so Mosaic can double-buffer the
+    HBM->VMEM row streams). At full-profile 1080p shapes (w=240, c=256)
+    this picks 4; the old fixed th=8 oversubscribed VMEM, the likely cause
+    of the round-3 Mosaic compile hang (see module STATUS note)."""
+    for th in (16, 8, 4, 2, 1):
+        if h % th == 0 and _tile_vmem_bytes(th, w, c) <= budget:
             return th
     return 1
 
@@ -146,7 +173,7 @@ def _dcb_fused(x: jnp.ndarray, w0, b0, w2, b2, w3, b3, wf0, bf0, wf2, bf2,
     """
     b, h, w, c = x.shape
     assert b == 1, "dcb_fused: inference path is B=1"
-    th = _pick_tile(h)
+    th = _pick_tile(h, w, c)
     n = h // th
     cdt = x.dtype
 

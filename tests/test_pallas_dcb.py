@@ -70,3 +70,19 @@ def test_gate_falls_back_on_unfriendly_shapes(monkeypatch):
         p = mod.init(jax.random.PRNGKey(0), x)["params"]
         out = mod.apply({"params": p}, x)  # conv path, must not raise
         assert out.shape == shape
+
+
+def test_tile_picker_respects_vmem_budget():
+    """At full-profile 1080p shapes (H=136, W=240, C=256 after 8x patching)
+    the row tile must shrink below 8 — the fixed th=8 working set (~20MB
+    fp32) oversubscribed the ~16MB VMEM and is the prime suspect for the
+    round-3 Mosaic compile hang."""
+    from ssgvc_tpu.ops.pallas_dcb import _pick_tile, _tile_vmem_bytes
+
+    th = _pick_tile(136, 240, 256)
+    assert th < 8 and 136 % th == 0
+    assert _tile_vmem_bytes(th, 240, 256) <= 9 * 1024 * 1024
+    # tiny shapes keep large tiles (and the divisibility contract)
+    assert _pick_tile(64, 16, 32) == 16
+    for h in (6, 10, 14):
+        assert h % _pick_tile(h, 16, 32) == 0

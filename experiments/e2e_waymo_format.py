@@ -119,6 +119,9 @@ def main():
         "dataset.batch_size=2", "dataset.seq_len=3", "dataset.crop_size=64",
         "dataset.strict_masks=true",
         "epochs=2", "model_profile=tiny", "precision=fp32",
+        # from-scratch recipe: start at the copy-prev bound + balanced
+        # per-QP gradients (docs/FROM_SCRATCH_TRAINING.md)
+        "recon_residual=true", "lambda_normalize=true",
         "accumulation_steps=1", "num_devices=1",
         f"log_dir={log_dir}", "log_interval=5",
     ]

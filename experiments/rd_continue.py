@@ -11,6 +11,7 @@ budgets accumulate across sessions instead of restarting from scratch.
 
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -23,10 +24,12 @@ import jax.numpy as jnp
 import rd_full
 from rd_full import (
     EVAL_QPS,
+    GATE_STEP,
     MID_DMC,
     MID_DMCI,
     TINY_DMC,
     TINY_DMCI,
+    liveness_gate,
     sample_qp,
 )
 
@@ -69,6 +72,14 @@ def main():
     eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                   for i in range(6)]
 
+    # gate clips at the train crop (go/no-go collapse gate, round-3 verdict
+    # item #2 — a warm restart at LR 7e-4 CAN re-collapse a healthy model,
+    # so every continuation cycle is gated too, not just the fresh run)
+    gate_ds = SyntheticClipDataset(num_clips=4, seq_len=2, crop_size=crop,
+                                   seed=555, texture="smooth")
+    gate_clips = [gate_ds.__getitem__(i, rng=np.random.default_rng(600 + i))
+                  for i in range(2)]
+
     results = {"continued_steps": steps, "budget_min": budget_min,
                "variants": {}}
     per_variant_s = budget_min * 60.0 / 2
@@ -81,7 +92,6 @@ def main():
         ck = restore_checkpoint(path)
         # keep the pre-cycle params: a diverging warm restart overwrites
         # `path` every <=10 min, so `.prev` is the recovery copy
-        import shutil
         prev = path + ".prev"
         if os.path.isdir(prev):
             shutil.rmtree(prev)
@@ -111,6 +121,8 @@ def main():
         host_rng = np.random.default_rng(101 + 7919 * cycle_seed)
         t0 = time.perf_counter()
         last_save = t0
+        gate_pending = True
+        aborted = False
         for i in range(steps):
             batch = {k: jnp.asarray(v) for k, v in next(it).items()}
             qp = jnp.int32(sample_qp(host_rng))
@@ -121,6 +133,22 @@ def main():
                       f"bpp {float(aux['bpp']):.4f} "
                       f"psnr {float(aux['psnr']):.2f} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if gate_pending and i >= GATE_STEP:
+                gate_pending = False
+                ok, _ = liveness_gate(trainer, jax.device_get(state),
+                                      gate_clips[0], gate_clips[1],
+                                      variant, i)
+                if not ok:
+                    # restore the pre-cycle copy: the warm restart collapsed
+                    # the model, so the cycle's periodic saves are poison
+                    shutil.rmtree(path)
+                    shutil.copytree(prev, path)
+                    print(f"[gate][{variant}+] cycle aborted at step {i}; "
+                          f"checkpoint restored from {prev}", flush=True)
+                    results["variants"][variant] = {
+                        "gate": "aborted_collapse_restored_prev"}
+                    aborted = True
+                    break
             if time.perf_counter() - last_save > 600.0:
                 st = jax.device_get(state)
                 save_checkpoint(path, {"params_p": st.params_p,
@@ -129,6 +157,8 @@ def main():
             if time.perf_counter() - t0 > per_variant_s:
                 print(f"[{variant}+] budget hit at step {i}")
                 break
+        if aborted:
+            continue
         state = jax.device_get(state)
         save_checkpoint(path, {"params_p": state.params_p,
                                "params_i": state.params_i})

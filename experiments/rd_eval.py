@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+import rd_full
 from rd_full import EVAL_QPS, MID_DMC, MID_DMCI, TINY_DMC, TINY_DMCI
 
 
@@ -30,10 +31,20 @@ def main():
     crops = ([int(c) for c in argv[argv.index("--crops") + 1].split(",")]
              if "--crops" in argv else [64, 192])
     dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
+    # share rd_full's profile/recipe-tagged checkpoint naming; default to the
+    # recon-skip recipe when its checkpoints exist (the round-4 marathon),
+    # falling back to the plain tag (round-3 runs)
+    rd_full.PROFILE = "tiny" if tiny else "mid"
+    rd_full.RECON_SKIP = True
+    recon_skip = ("--recon-skip" in argv
+                  or ("--no-recon-skip" not in argv
+                      and os.path.isdir(rd_full.ckpt_path("performance"))))
+    rd_full.RECON_SKIP = recon_skip
 
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
     from ssgvc_tpu.data.dataset import SyntheticClipDataset
     from ssgvc_tpu.training.evaluate import (
+        bd_psnr,
         bd_rate,
         evaluate_gop_estimated,
         rd_sweep,
@@ -54,13 +65,14 @@ def main():
                  for i in range(6)]
         per_variant = {}
         for variant in ("performance", "plain"):
-            path = f"artifacts/rd_ckpt_{variant}"
+            path = rd_full.ckpt_path(variant)
             if not os.path.isdir(path):
                 print(f"[skip] no checkpoint at {path}")
                 continue
             ck = restore_checkpoint(path)
             tr = Trainer(TrainConfig(dmc_variant=variant), total_iters=10,
-                         dmc_cfg=DMCConfig.variant(variant, **dmc_kw),
+                         dmc_cfg=DMCConfig.variant(
+                             variant, recon_residual=recon_skip, **dmc_kw),
                          dmci_cfg=DMCIConfig(**dmci_kw))
             index_map = list(cfg.compression.index_map)
             qp_shift = list(tr.dmc_cfg.qp_shift)
@@ -118,8 +130,12 @@ def main():
                 plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
             per_variant["bd_rate_psnr_pct"] = bd_rate(
                 plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+            # the reference's headline metric: ROI dB gained at matched rate
+            per_variant["bd_psnr_roi_db"] = bd_psnr(
+                plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
             print(f"[{crop}px] BD-rate ROI {per_variant['bd_rate_roi_psnr_pct']:+.1f}%"
-                  f"  global {per_variant['bd_rate_psnr_pct']:+.1f}%")
+                  f"  global {per_variant['bd_rate_psnr_pct']:+.1f}%"
+                  f"  ROI BD-PSNR {per_variant['bd_psnr_roi_db']:+.2f} dB")
         results["crops"][str(crop)] = per_variant
 
     os.makedirs("artifacts", exist_ok=True)

@@ -208,6 +208,11 @@ class TrainConfig:
     # init-time quantizer-gain calibration (training/calibrate.py): fresh
     # inits only, no effect on restored/imported checkpoints
     calibrate_gains: bool = True
+    # from-scratch recipe: recon = prev frame + zero-init correction, so
+    # training starts at the copy-previous bound (DMCConfig.recon_residual;
+    # docs/FROM_SCRATCH_TRAINING.md). Leave False when finetuning imported
+    # reference weights — their trained head plus the skip doubles the signal
+    recon_residual: bool = False
 
     exp_name: str = "video-compression-waymo"
     model_profile: str = "full"       # full | tiny (CI/smoke runs)

@@ -81,13 +81,15 @@ class Trainer:
         self.cfg = cfg
         dtype = "bfloat16" if "bf16" in cfg.precision else "float32"
         if dmc_cfg is None:
+            rr = getattr(cfg, "recon_residual", False)
             if getattr(cfg, "model_profile", "full") == "tiny":
                 dmc_cfg = DMCConfig.variant(cfg.dmc_variant, dtype=dtype,
                                             ch_d=16, ch_y=8, ch_z=8,
-                                            ch_recon=16)
+                                            ch_recon=16, recon_residual=rr)
                 dmci_cfg = dmci_cfg or DMCIConfig.tiny()
             else:
-                dmc_cfg = DMCConfig.variant(cfg.dmc_variant, dtype=dtype)
+                dmc_cfg = DMCConfig.variant(cfg.dmc_variant, dtype=dtype,
+                                            recon_residual=rr)
         self.dmc_cfg = dmc_cfg
         self.dmci_cfg = dmci_cfg or DMCIConfig(dtype=dtype)
         self.dmc = DMC(self.dmc_cfg)

@@ -202,3 +202,14 @@ def test_training_overfits_one_batch():
         assert np.isfinite(float(aux["loss"]))
     after = float(ev(state, batch, fixed_qp, jax.random.PRNGKey(1))["loss"])
     assert after < before
+
+
+def test_recon_residual_threads_from_train_config():
+    """CLI-facing contract: TrainConfig.recon_residual reaches the DMC
+    config in both profile branches (the e2e journey and any from-scratch
+    CLI run rely on this; docs/FROM_SCRATCH_TRAINING.md)."""
+    tr = Trainer(TrainConfig(model_profile="tiny", recon_residual=True),
+                 total_iters=1)
+    assert tr.dmc_cfg.recon_residual is True
+    tr2 = Trainer(TrainConfig(model_profile="tiny"), total_iters=1)
+    assert tr2.dmc_cfg.recon_residual is False

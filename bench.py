@@ -123,13 +123,18 @@ def main():
     from ssgvc_tpu.models.dmc import DMC
     from ssgvc_tpu.ops.pixel import pixel_unshuffle
 
-    cfg = DMCConfig.variant("performance", dtype="bfloat16", packed_io=True)
+    # SSGVC_BENCH_VARIANT=plain measures the no-mask baseline so the
+    # performance-variant runtime overhead is checkable against the
+    # reference's ~14% claim (reference README.md:7); default stays the
+    # headline 'performance' config the driver tracks across rounds
+    import os as _os
+    variant = _os.environ.get("SSGVC_BENCH_VARIANT", "performance")
+    cfg = DMCConfig.variant(variant, dtype="bfloat16", packed_io=True)
     model = DMC(cfg)
 
     # SSGVC_BENCH_BATCH=2 measures two independent 1080p streams per scan
     # step (serving-style chip fill); default stays the single-stream config
     # the driver tracks across rounds
-    import os as _os
     b = int(_os.environ.get("SSGVC_BENCH_BATCH", "1"))
     h, w = 1088, 1920
     n_frames = 48
@@ -198,7 +203,7 @@ def main():
 
     baseline_fps = 30.0  # A100-class real-time bar; reference publishes no fps
     print(json.dumps({
-        "metric": "1080p P-frame enc+dec fps/chip (performance variant, bf16)",
+        "metric": f"1080p P-frame enc+dec fps/chip ({variant} variant, bf16)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import rd_full
 from rd_full import (
     EVAL_QPS,
-    GATE_STEP,
     MID_DMC,
     MID_DMCI,
     TINY_DMC,
@@ -133,7 +132,8 @@ def main():
                       f"bpp {float(aux['bpp']):.4f} "
                       f"psnr {float(aux['psnr']):.2f} "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
-            if gate_pending and i >= GATE_STEP:
+            # read through rd_full so harness overrides reach this module
+            if gate_pending and i >= rd_full.GATE_STEP:
                 gate_pending = False
                 ok, _ = liveness_gate(trainer, jax.device_get(state),
                                       gate_clips[0], gate_clips[1],
@@ -147,6 +147,9 @@ def main():
                           f"checkpoint restored from {prev}", flush=True)
                     results["variants"][variant] = {
                         "gate": "aborted_collapse_restored_prev"}
+                    os.makedirs("artifacts", exist_ok=True)
+                    with open("artifacts/rd_continued.json", "w") as f:
+                        json.dump(results, f, indent=2)
                     aborted = True
                     break
             if time.perf_counter() - last_save > 600.0:
@@ -191,7 +194,9 @@ def main():
         with open("artifacts/rd_continued.json", "w") as f:
             json.dump(results, f, indent=2)
 
-    if {"performance", "plain"} <= set(results["variants"]):
+    ok_variants = {v for v, c in results["variants"].items()
+                   if "estimated_rd" in c}
+    if {"performance", "plain"} <= ok_variants:
         perf = results["variants"]["performance"]["estimated_rd"]
         plain = results["variants"]["plain"]["estimated_rd"]
         results["bd_rate_roi_psnr_pct"] = bd_rate(

@@ -38,6 +38,10 @@ STEP_TIMEOUT=900 step bench python bench.py
 # 2b. serving-style chip fill: two independent 1080p streams per scan step
 STEP_TIMEOUT=900 step bench_batch2 env SSGVC_BENCH_BATCH=2 python bench.py || true
 
+# 2c. no-mask baseline: performance-variant runtime overhead vs plain
+# (reference claims ~14%, README.md:7)
+STEP_TIMEOUT=900 step bench_plain env SSGVC_BENCH_VARIANT=plain python bench.py || true
+
 # 3. pallas_dcb Mosaic compile attempt (bounded; failure is non-fatal)
 STEP_TIMEOUT=600 step pallas_compile python experiments/pallas_dcb_hw.py || true
 

@@ -25,6 +25,26 @@ import rd_full
 from rd_full import EVAL_QPS, MID_DMC, MID_DMCI, TINY_DMC, TINY_DMCI
 
 
+def _trivial_bounds(clips):
+    """Zero-rate reference points on the SAME eval clips (context for the
+    RD tables; docs/FROM_SCRATCH_TRAINING.md): copy-previous-frame PSNR over
+    the P positions, and the per-clip-mean (DC) PSNR. A codec P-frame is
+    only interesting above copy-prev; rate only trades visibly once the
+    model clears these."""
+    def psnr(mse):
+        return float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+
+    copy_mse, dc_mse = [], []
+    for frames, _ in clips:
+        f = np.asarray(frames, np.float32)
+        copy_mse.extend(((f[1:] - f[:-1]) ** 2).reshape(len(f) - 1, -1)
+                        .mean(axis=1).tolist())
+        dc = f.mean(axis=(0, 1, 2), keepdims=True)
+        dc_mse.append(float(((f - dc) ** 2).mean()))
+    return {"copy_prev_psnr_db": round(psnr(float(np.mean(copy_mse))), 2),
+            "dc_psnr_db": round(psnr(float(np.mean(dc_mse))), 2)}
+
+
 def main():
     argv = sys.argv[1:]
     tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
@@ -63,7 +83,7 @@ def main():
                                        else "smooth")
         clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                  for i in range(6)]
-        per_variant = {}
+        per_variant = {"trivial_bounds": _trivial_bounds(clips)}
         for variant in ("performance", "plain"):
             path = rd_full.ckpt_path(variant)
             if not os.path.isdir(path):

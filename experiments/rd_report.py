@@ -149,12 +149,24 @@ def main():
     if ev and ev.get("crops"):
         out += ["## Checkpoint re-evaluation (`artifacts/rd_eval.json`)", ""]
         for crop, per_v in ev["crops"].items():
+            tb = per_v.get("trivial_bounds")
+            if tb:
+                out += [f"Zero-rate reference points at {crop}px on the same "
+                        f"clips: copy-previous-frame "
+                        f"**{_fmt(tb.get('copy_prev_psnr_db'), 2)} dB**, "
+                        f"per-clip DC {_fmt(tb.get('dc_psnr_db'), 2)} dB.", ""]
             for v, c in per_v.items():
+                if not isinstance(c, dict):
+                    continue  # scalar summary keys (bd_*) render below
                 curve = c.get("estimated_rd") or c
                 if "bpp" not in curve:
                     continue
                 out += [f"### {crop}px / `{v}`", "",
                         rd_table(curve, [8, 20, 32, 44, 56]), ""]
+            bd_db = per_v.get("bd_psnr_roi_db")
+            if bd_db is not None:
+                out += [f"ROI BD-PSNR at matched rate ({crop}px, performance "
+                        f"vs plain): **{_fmt(bd_db, 2)} dB**", ""]
 
     # ---- e2e journey ----------------------------------------------------
     e2e = _load("artifacts/e2e_waymo_format.json")

@@ -100,3 +100,49 @@ def test_make_mesh_rejects_too_many_devices():
     n = len(jax.devices())
     with pytest.raises(ValueError, match="requested but only"):
         mesh_mod.make_mesh(n + 1)
+
+
+def test_spatial_sharded_pframe_matches_single_device():
+    """parallel/spatial.py: single-stream P-frame with the H axis sharded
+    over the mesh must match the unsharded forward (XLA SPMD inserts the
+    depthwise-3x3 halo exchanges; bpp reduces with a psum). Latency-scaling
+    counterpart of the throughput-scaling data mesh."""
+    from ssgvc_tpu.config import DMCConfig
+    from ssgvc_tpu.models.dmc import DMC
+    from ssgvc_tpu.parallel.spatial import jit_spatial_pframe, shard_rows
+
+    m = mesh_mod.make_mesh()
+    n = m.devices.size
+    cfg = DMCConfig.variant("performance", ch_d=16, ch_y=8, ch_z=8,
+                            ch_recon=16)
+    model = DMC(cfg)
+    h = 8 * 8 * n  # 8 rows/device after the 8x8 patching
+    w = 64
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (1, h, w, 3), jnp.float32)
+    mask = (jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 1))
+            > 0.7).astype(jnp.float32)
+    dpb = {"frame": jax.random.uniform(jax.random.PRNGKey(2), (1, h, w, 3)),
+           "feature": jax.random.normal(
+               jax.random.PRNGKey(3), (1, h // 8, w // 8, cfg.ch_d)) * 0.1}
+    params = model.init({"params": k, "noise": k}, x, jnp.int32(32), dpb,
+                        after_i=False, mask=mask, train=False)["params"]
+
+    ref = model.apply({"params": params}, x, jnp.int32(32), dpb,
+                      after_i=False, mask=mask, train=False)
+
+    fn = jit_spatial_pframe(model, m)
+    dpb_s, (x_s, m_s) = shard_rows(m, dpb), shard_rows(m, (x, mask))
+    out_dpb, bpp = fn(params, x_s, m_s, jnp.int32(32), dpb_s)
+
+    assert out_dpb["frame"].sharding.spec[1] == "data"
+    # bpp reduces via psum over row slabs: summation order differs from the
+    # single-device reduction, fp32 noise only
+    np.testing.assert_allclose(np.asarray(bpp), np.asarray(ref["bpp"]),
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dpb["frame"]),
+                               np.asarray(ref["dpb"]["frame"]),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_dpb["feature"]),
+                               np.asarray(ref["dpb"]["feature"]),
+                               rtol=2e-5, atol=2e-4)

@@ -58,9 +58,15 @@ def maybe_init_distributed() -> bool:
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D data mesh over all visible devices (all hosts' devices after
-    ``maybe_init_distributed``). ``n_devices`` truncates for tests."""
+              axis_names: Sequence[str] = ("data",),
+              spatial: int = 1) -> Mesh:
+    """Device mesh over all visible devices (all hosts' devices after
+    ``maybe_init_distributed``). ``n_devices`` truncates for tests.
+
+    1-D (default): pure data parallelism. 2-D with
+    ``axis_names=("data", "spatial")`` and ``spatial=M``: N/M independent
+    stream groups, each stream's frame H-sharded M ways
+    (parallel/spatial.py) — throughput x latency scaling combined."""
     maybe_init_distributed()
     devices = jax.devices()
     if n_devices is not None and n_devices > 0:
@@ -74,8 +80,14 @@ def make_mesh(n_devices: Optional[int] = None,
         devices = devices[:n_devices]
     if len(axis_names) == 1:
         shape = (len(devices),)
+    elif len(axis_names) == 2:
+        if spatial <= 0 or len(devices) % spatial:
+            raise ValueError(
+                f"make_mesh: spatial={spatial} must divide the device count "
+                f"{len(devices)}")
+        shape = (len(devices) // spatial, spatial)
     else:
-        raise NotImplementedError("only 1-D data meshes are used today")
+        raise NotImplementedError("1-D data or 2-D data x spatial meshes")
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 

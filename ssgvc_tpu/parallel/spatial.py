@@ -27,26 +27,35 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def row_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """NHWC activation sharding: H (dim 1) split over the mesh axis."""
-    return NamedSharding(mesh, P(None, axis))
+def row_sharding(mesh: Mesh, axis: str = "data",
+                 batch_axis: str = None) -> NamedSharding:
+    """NHWC activation sharding: H (dim 1) split over ``axis``; on a 2-D
+    data x spatial mesh pass ``batch_axis`` to shard B (dim 0) as well."""
+    return NamedSharding(mesh, P(batch_axis, axis))
 
 
-def jit_spatial_pframe(model, mesh: Mesh, axis: str = "data"):
-    """Jitted single-stream P-frame forward with H-sharded activations.
+def jit_spatial_pframe(model, mesh: Mesh, axis: str = "data",
+                       batch_axis: str = None):
+    """Jitted P-frame forward with H-sharded activations.
 
     Returns ``fn(params, frame, mask, qp, dpb) -> (new_dpb, bpp)`` where
     frame/mask/dpb entries are NHWC with H sharded over ``axis`` and params
     are replicated. Works in both packed_io and pixel-space modes (the
     sharded dim is H in whatever domain the model ingests).
+
+    On a 2-D mesh (``make_mesh(axis_names=("data", "spatial"), spatial=M)``)
+    pass ``axis="spatial", batch_axis="data"``: each device row serves a
+    group of streams, each stream's frame split M ways — combined
+    throughput x latency scaling.
     """
-    rows = row_sharding(mesh, axis)
+    rows = row_sharding(mesh, axis, batch_axis)
     rep = NamedSharding(mesh, P())
+    bpp_sh = NamedSharding(mesh, P(batch_axis))  # per-sample bpp (B,)
 
     @functools.partial(
         jax.jit,
         in_shardings=(rep, rows, rows, rep, {"frame": rows, "feature": rows}),
-        out_shardings=({"frame": rows, "feature": rows}, rep),
+        out_shardings=({"frame": rows, "feature": rows}, bpp_sh),
     )
     def fn(params, frame, mask, qp, dpb):
         out = model.apply({"params": params}, frame, qp, dpb,
@@ -56,7 +65,7 @@ def jit_spatial_pframe(model, mesh: Mesh, axis: str = "data"):
     return fn
 
 
-def shard_rows(mesh: Mesh, tree, axis: str = "data"):
-    """Device-put NHWC arrays with H-axis sharding."""
-    sh = row_sharding(mesh, axis)
+def shard_rows(mesh: Mesh, tree, axis: str = "data", batch_axis: str = None):
+    """Device-put NHWC arrays with H-axis (and optional B-axis) sharding."""
+    sh = row_sharding(mesh, axis, batch_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -146,3 +146,50 @@ def test_spatial_sharded_pframe_matches_single_device():
     np.testing.assert_allclose(np.asarray(out_dpb["feature"]),
                                np.asarray(ref["dpb"]["feature"]),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_2d_mesh_data_x_spatial_pframe():
+    """2-D data x spatial mesh: B sharded over 'data', H over 'spatial';
+    per-sample bpp and recons must match single-device."""
+    from ssgvc_tpu.config import DMCConfig
+    from ssgvc_tpu.models.dmc import DMC
+    from ssgvc_tpu.parallel.spatial import jit_spatial_pframe, shard_rows
+
+    n = jax.device_count()
+    if n % 2:
+        pytest.skip("needs an even device count")
+    spatial = n // 2
+    m = mesh_mod.make_mesh(axis_names=("data", "spatial"), spatial=spatial)
+    assert m.shape == {"data": 2, "spatial": spatial}
+
+    cfg = DMCConfig.variant("plain", ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+    model = DMC(cfg)
+    b, h, w = 2, 8 * 8 * spatial, 32
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (b, h, w, 3), jnp.float32)
+    dpb = {"frame": jax.random.uniform(jax.random.PRNGKey(2), (b, h, w, 3)),
+           "feature": jax.random.normal(
+               jax.random.PRNGKey(3), (b, h // 8, w // 8, cfg.ch_d)) * 0.1}
+    params = model.init({"params": k, "noise": k}, x, jnp.int32(32), dpb,
+                        after_i=False, train=False)["params"]
+    ref = model.apply({"params": params}, x, jnp.int32(32), dpb,
+                      after_i=False, train=False)
+
+    fn = jit_spatial_pframe(model, m, axis="spatial", batch_axis="data")
+    mask = jnp.zeros((b, h, w, 1), jnp.float32)
+    dpb_s, (x_s, m_s) = (shard_rows(m, dpb, "spatial", "data"),
+                         shard_rows(m, (x, mask), "spatial", "data"))
+    out_dpb, bpp = fn(params, x_s, m_s, jnp.int32(32), dpb_s)
+
+    assert bpp.shape == (b,)
+    np.testing.assert_allclose(np.asarray(bpp), np.asarray(ref["bpp"]),
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dpb["frame"]),
+                               np.asarray(ref["dpb"]["frame"]),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_make_mesh_2d_validates_divisibility():
+    with pytest.raises(ValueError, match="must divide"):
+        mesh_mod.make_mesh(axis_names=("data", "spatial"),
+                           spatial=jax.device_count() + 1)

@@ -110,12 +110,75 @@ def main():
     assert written == 2 * n_frames, written
     result["stages"]["cache"] = {"masks_written": written}
 
+    # -- 2.5 pretrain the intra model (the reference's journey loads a
+    # pretrained cvpr2025_image.pth.tar and freezes it,
+    # trainer_seg_video_model.py:825-846; a random frozen DMCI caps the
+    # whole pipeline at garbage PSNR). Saved as an orbax dir that
+    # image_checkpoint_path accepts. ----------------------------------------
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ssgvc_tpu.config import DMCIConfig
+    from ssgvc_tpu.data.dataset import WaymoClipDataset
+    from ssgvc_tpu.models.dmci import DMCI
+    from ssgvc_tpu.training.calibrate import calibrate_dmci
+    from ssgvc_tpu.training.loss import compute_lambda
+    from ssgvc_tpu.utils.checkpoint import save_checkpoint
+
+    t0 = time.perf_counter()
+    ds = WaymoClipDataset(sorted(all_boxes), seg_cache_dir=cache_dir,
+                          seq_len=1, slide=1, crop_size=64,
+                          strict_masks=True)
+    dmci = DMCI(DMCIConfig.tiny())
+    rng_np = np.random.default_rng(7)
+    x0 = jnp.asarray(ds.__getitem__(0, rng=rng_np)[0])  # (1, 64, 64, 3)
+    key = jax.random.PRNGKey(7)
+    params_i = dmci.init({"params": key, "noise": key}, x0, jnp.int32(0),
+                         train=False)["params"]
+    params_i = calibrate_dmci(dmci, params_i, x0)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params_i)
+
+    @jax.jit
+    def dmci_step(params, opt_state, x, qp, rng):
+        def loss_fn(p):
+            out = dmci.apply({"params": p}, x, qp, train=True,
+                             rngs={"noise": rng})
+            mse = jnp.mean((out["dpb"]["frame"].astype(jnp.float32) - x) ** 2)
+            lam = compute_lambda(qp, 50.0, 38400.0)
+            return jnp.mean(out["bpp"]) / lam + mse, mse
+
+        grads, mse = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, mse
+
+    key_j = jax.random.PRNGKey(8)
+    dmci_budget_s = float(os.environ.get("E2E_DMCI_BUDGET_S", "240"))
+    mse = None
+    for i in range(4000):
+        idx = int(rng_np.integers(0, len(ds)))
+        x = jnp.asarray(ds.__getitem__(idx, rng=rng_np)[0][:1])
+        key_j, sub = jax.random.split(key_j)
+        params_i, opt_state, mse = dmci_step(
+            params_i, opt_state, x, jnp.int32(int(rng_np.integers(0, 64))),
+            sub)
+        if time.perf_counter() - t0 > dmci_budget_s:
+            break
+    dmci_psnr = float(-10.0 * np.log10(max(float(mse), 1e-12)))
+    dmci_ckpt = os.path.join(work, "dmci_pretrain")
+    save_checkpoint(dmci_ckpt, {"params_i": jax.device_get(params_i)})
+    result["stages"]["dmci_pretrain"] = {
+        "seconds": round(time.perf_counter() - t0, 1),
+        "train_psnr_db": round(dmci_psnr, 2)}
+
     # -- 3. train through the real CLI --------------------------------------
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     overrides = [
         f"dataset.data_dir={data_dir}",
         f"dataset.seg_cache_dir={cache_dir}",
+        f"image_checkpoint_path={dmci_ckpt}",
         "dataset.batch_size=2", "dataset.seq_len=3", "dataset.crop_size=64",
         "dataset.strict_masks=true",
         "epochs=2", "model_profile=tiny", "precision=fp32",

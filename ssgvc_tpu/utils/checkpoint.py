@@ -138,8 +138,15 @@ def load_pretrained(trainer, cfg):
     params_i, params_p = state.params_i, state.params_p
 
     if cfg.image_checkpoint_path and os.path.exists(cfg.image_checkpoint_path):
-        sd = load_torch_checkpoint(cfg.image_checkpoint_path)
-        params_i = align_params(convert_state_dict(sd), params_i)
+        if os.path.isdir(cfg.image_checkpoint_path):
+            # repo-native orbax dir holding {"params_i": ...} (e.g. a DMCI
+            # pretrained with this framework — the from-scratch counterpart
+            # of the reference's cvpr2025_image.pth.tar)
+            params_i = restore_checkpoint(
+                cfg.image_checkpoint_path)["params_i"]
+        else:
+            sd = load_torch_checkpoint(cfg.image_checkpoint_path)
+            params_i = align_params(convert_state_dict(sd), params_i)
         print(f"[ckpt] imported image model from {cfg.image_checkpoint_path}")
 
     if cfg.video_checkpoint_path and os.path.exists(cfg.video_checkpoint_path):

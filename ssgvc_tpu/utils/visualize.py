@@ -17,9 +17,15 @@ from .transforms import ycbcr2rgb_np
 
 
 def visualize_q_scale(q_table: np.ndarray, out_dir: str, name: str = "q_scale",
-                      make_gif: bool = True) -> Dict[str, str]:
+                      make_gif: bool = True,
+                      log_wandb: bool = False) -> Dict[str, str]:
     """q_table: (QP, C) learned per-QP scales. Writes mean/std PNG and an
-    animated per-QP histogram GIF. Returns written paths."""
+    animated per-QP histogram GIF. Returns written paths.
+
+    ``log_wandb=True`` mirrors the reference's optional wandb branch
+    (src/utils/visualize_helper.py:21-103): when a wandb run is active the
+    written images are attached to it; silently skipped when wandb is not
+    installed or no run is live (this image ships no wandb)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -63,6 +69,15 @@ def visualize_q_scale(q_table: np.ndarray, out_dir: str, name: str = "q_scale",
             paths["gif"] = gif_path
         except Exception as e:  # pragma: no cover
             print(f"[visualize] gif skipped: {e}")
+
+    if log_wandb:
+        try:  # pragma: no cover - wandb absent in this image
+            import wandb
+            if wandb.run is not None:
+                wandb.log({f"{name}/{k}": wandb.Image(p)
+                           for k, p in paths.items()})
+        except ImportError:
+            pass
     return paths
 
 

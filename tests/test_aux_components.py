@@ -424,3 +424,31 @@ def test_make_datamodule_vimeo_septuplet_dispatch(tmp_path):
     batch = next(dm.train_iter())
     assert batch["frames"].shape == (2, 4, 32, 32, 3)
     assert batch["masks"].shape == (2, 4, 32, 32, 1)
+
+
+def test_load_pretrained_accepts_orbax_dmci_dir(tmp_path):
+    """image_checkpoint_path pointing at a repo-native orbax dir (a DMCI
+    pretrained with this framework) initializes params_i from it — the
+    from-scratch counterpart of the reference's cvpr2025_image.pth.tar
+    (trainer_seg_video_model.py:825-846)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssgvc_tpu.config import TrainConfig
+    from ssgvc_tpu.training.trainer import Trainer
+    from ssgvc_tpu.utils.checkpoint import load_pretrained, save_checkpoint
+
+    cfg = TrainConfig(model_profile="tiny")
+    cfg.precision = "fp32"
+    trainer = Trainer(cfg, total_iters=1)
+    state0 = trainer.init_state(jax.random.PRNGKey(3))
+    marked = jax.tree_util.tree_map(lambda x: x + 1.5, state0.params_i)
+    path = str(tmp_path / "dmci_pretrain")
+    save_checkpoint(path, {"params_i": jax.device_get(marked)})
+
+    cfg.image_checkpoint_path = path
+    state = load_pretrained(trainer, cfg)
+    got = jax.tree_util.tree_leaves(state.params_i)
+    want = jax.tree_util.tree_leaves(marked)
+    assert all(np.allclose(np.asarray(g), np.asarray(w))
+               for g, w in zip(got, want))

@@ -154,22 +154,31 @@ def main():
         return optax.apply_updates(params, updates), opt_state2, mse
 
     key_j = jax.random.PRNGKey(8)
-    dmci_budget_s = float(os.environ.get("E2E_DMCI_BUDGET_S", "240"))
+    dmci_budget_s = float(os.environ.get("E2E_DMCI_BUDGET_S", "300"))
     mse = None
+    t_train = None  # budget excludes the jit compile (shared 1-core host)
+
+    def batch4():
+        xs = [ds.__getitem__(int(rng_np.integers(0, len(ds))),
+                             rng=rng_np)[0][0] for _ in range(4)]
+        return jnp.asarray(np.stack(xs))
+
     for i in range(4000):
-        idx = int(rng_np.integers(0, len(ds)))
-        x = jnp.asarray(ds.__getitem__(idx, rng=rng_np)[0][:1])
+        x = batch4()
         key_j, sub = jax.random.split(key_j)
         params_i, opt_state, mse = dmci_step(
             params_i, opt_state, x, jnp.int32(int(rng_np.integers(0, 64))),
             sub)
-        if time.perf_counter() - t0 > dmci_budget_s:
+        if t_train is None:
+            jax.block_until_ready(mse)
+            t_train = time.perf_counter()
+        elif time.perf_counter() - t_train > dmci_budget_s:
             break
     dmci_psnr = float(-10.0 * np.log10(max(float(mse), 1e-12)))
     dmci_ckpt = os.path.join(work, "dmci_pretrain")
     save_checkpoint(dmci_ckpt, {"params_i": jax.device_get(params_i)})
     result["stages"]["dmci_pretrain"] = {
-        "seconds": round(time.perf_counter() - t0, 1),
+        "seconds": round(time.perf_counter() - t0, 1), "steps": i + 1,
         "train_psnr_db": round(dmci_psnr, 2)}
 
     # -- 3. train through the real CLI --------------------------------------

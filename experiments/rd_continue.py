@@ -162,6 +162,21 @@ def main():
                 break
         if aborted:
             continue
+        if gate_pending:
+            # budget expired before GATE_STEP: gate NOW, never save ungated
+            # (a collapsed save would poison .prev on the next cycle)
+            ok, _ = liveness_gate(trainer, jax.device_get(state),
+                                  gate_clips[0], gate_clips[1], variant, -1)
+            if not ok:
+                shutil.rmtree(path)
+                shutil.copytree(prev, path)
+                print(f"[gate][{variant}+] end-of-budget gate failed; "
+                      f"checkpoint restored from {prev}", flush=True)
+                results["variants"][variant] = {
+                    "gate": "aborted_collapse_restored_prev"}
+                with open("artifacts/rd_continued.json", "w") as f:
+                    json.dump(results, f, indent=2)
+                continue
         state = jax.device_get(state)
         save_checkpoint(path, {"params_p": state.params_p,
                                "params_i": state.params_i})

@@ -56,9 +56,10 @@ def main():
     # falling back to the plain tag (round-3 runs)
     rd_full.PROFILE = "tiny" if tiny else "mid"
     rd_full.RECON_SKIP = True
+    any_skip = any(os.path.isdir(rd_full.ckpt_path(v))
+                   for v in ("performance", "plain"))
     recon_skip = ("--recon-skip" in argv
-                  or ("--no-recon-skip" not in argv
-                      and os.path.isdir(rd_full.ckpt_path("performance"))))
+                  or ("--no-recon-skip" not in argv and any_skip))
     rd_full.RECON_SKIP = recon_skip
 
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig

@@ -211,6 +211,14 @@ def train_variant(variant: str, steps: int, dm, budget_s: float,
         if time.perf_counter() - t0 > budget_s:
             print(f"[{variant}] budget hit at step {i}")
             break
+    if gate_pending:
+        # budget expired before GATE_STEP: gate before the caller saves
+        ok, _ = liveness_gate(trainer, jax.device_get(state),
+                              gate_clips[0], gate_clips[1], variant, -1)
+        if not ok:
+            print(f"[gate][{variant}] end-of-budget gate failed — "
+                  f"checkpoint NOT saved", flush=True)
+            return trainer, jax.device_get(state), False
     print(f"[{variant}] trained in {time.perf_counter() - t0:.1f}s")
     return trainer, jax.device_get(state), True
 

@@ -283,7 +283,9 @@ def _make_vimeo(dtype: str, ds_cfg, seq_len: int, crop: int):
     root = ds_cfg.data_dir
     try:
         if dtype == "vimeo_septuplet":
-            return Vimeo90kSeptupletDataset(root, n_frames=seq_len,
+            # septuplets are 7 frames by construction — clamp like the
+            # 'vimeo' 7-PNG branch instead of crashing at batch time
+            return Vimeo90kSeptupletDataset(root, n_frames=min(seq_len, 7),
                                             crop_size=crop)
         if dtype == "vimeo_mp4":
             return Vimeo90kMP4Dataset(

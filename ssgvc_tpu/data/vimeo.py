@@ -140,12 +140,21 @@ class Vimeo90kMP4Dataset:
         if n_frames and use_cache:
             cache = os.path.join(root, "video_frames_cache.txt")
             info = load_video_frames_info(cache)
-            missing = [p for p in self.paths
-                       if os.path.basename(p) not in info]
+            # keys are paths relative to root: basenames collide in the
+            # nested sequences_mp4/<a>/<b>.mp4 layout, and counting ONLY the
+            # missing entries (merged with the loaded cache) keeps the two
+            # splits from evicting each other's rows
+            key = lambda p: os.path.relpath(p, root)
+            missing = [p for p in self.paths if key(p) not in info]
             if missing:
-                info.update(cache_video_frames_info(self.paths, cache))
+                info = cache_video_frames_info(missing, cache, root=root,
+                                               existing=info)
             self.paths = [p for p in self.paths
-                          if info.get(os.path.basename(p), 0) >= n_frames]
+                          if info.get(key(p), 0) >= n_frames]
+        if not self.paths:
+            raise RuntimeError(
+                f"no mp4 clips with >= {n_frames or 1} frames under {root} "
+                f"(split file {os.path.basename(list_file)})")
 
     def __len__(self):
         return len(self.paths)
@@ -227,8 +236,12 @@ class Vimeo90kSeptupletDataset:
         if self.crop_size:
             c = self.crop_size
             t_, h, w, _ = frames.shape
-            top = int(rng.integers(0, max(1, h - c + 1)))
-            left = int(rng.integers(0, max(1, w - c + 1)))
+            if h < c or w < c:
+                raise ValueError(
+                    f"clip {self.paths[idx]} is {h}x{w}, smaller than "
+                    f"crop_size={c}; resize the video or lower crop_size")
+            top = int(rng.integers(0, h - c + 1))
+            left = int(rng.integers(0, w - c + 1))
             frames = frames[:, top:top + c, left:left + c]
         masks = np.zeros(frames.shape[:3] + (1,), np.float32)
         return frames, masks
@@ -254,14 +267,17 @@ def generate_train_test_split(video_dir: str, train_split: float = 0.8,
     return train, test
 
 
-def cache_video_frames_info(video_files, output_path: str):
+def cache_video_frames_info(video_files, output_path: str,
+                            root: str = None, existing: dict = None):
     """filename -> frame count cache (reference cache_video_frames_info,
     dataset_vimeo.py:367-395): avoids re-opening every video per dataset
-    construction."""
+    construction. ``root`` keys entries by relative path (collision-safe for
+    nested layouts); ``existing`` rows are merged so incremental updates
+    never evict other splits' entries."""
     decode_count = _find_frame_counter()
-    info = {}
+    info = dict(existing or {})
     for path in video_files:
-        name = os.path.basename(path)
+        name = os.path.relpath(path, root) if root else os.path.basename(path)
         if name not in info:
             info[name] = decode_count(path)
     with open(output_path, "w") as f:

@@ -135,10 +135,14 @@ def _tile_vmem_bytes(th: int, w: int, c: int) -> int:
 def _pick_tile(h: int, w: int, c: int,
                budget: int = 9 * 1024 * 1024) -> int:
     """Largest row-tile dividing h whose working set fits a conservative
-    VMEM budget (half of the ~16MB/core so Mosaic can double-buffer the
-    HBM->VMEM row streams). At full-profile 1080p shapes (w=240, c=256)
-    this picks 4; the old fixed th=8 oversubscribed VMEM, the likely cause
-    of the round-3 Mosaic compile hang (see module STATUS note)."""
+    9MB VMEM budget (out of ~16MB/core, leaving room for Mosaic to
+    double-buffer the HBM->VMEM row streams). At full-profile 1080p shapes
+    (w=240, c=256) this picks th=2 (th=4's estimate is ~11.4MB); the old
+    fixed th=8 put ~19MB in flight, the likely cause of the round-3 Mosaic
+    compile hang (see module STATUS note). The (th+2)-row halo means dc_0
+    computes 2 redundant rows per tile — at th=2 that's 2x dc_0 work, but
+    dc_0 is one of six matmuls and correctness/compile-viability wins;
+    revisit the budget upward after a successful hardware validation."""
     for th in (16, 8, 4, 2, 1):
         if h % th == 0 and _tile_vmem_bytes(th, w, c) <= budget:
             return th

@@ -142,8 +142,22 @@ def load_pretrained(trainer, cfg):
             # repo-native orbax dir holding {"params_i": ...} (e.g. a DMCI
             # pretrained with this framework — the from-scratch counterpart
             # of the reference's cvpr2025_image.pth.tar)
-            params_i = restore_checkpoint(
-                cfg.image_checkpoint_path)["params_i"]
+            ck = restore_checkpoint(cfg.image_checkpoint_path)
+            if "params_i" not in ck:
+                raise KeyError(
+                    f"{cfg.image_checkpoint_path} has keys "
+                    f"{sorted(ck)}, expected 'params_i' (a DMCI pretrain "
+                    f"dir, not a full training checkpoint)")
+            loaded = ck["params_i"]
+            shape_of = lambda a: tuple(getattr(a, "shape", ()))
+            tmpl_shapes = jax.tree_util.tree_map(shape_of, params_i)
+            got_shapes = jax.tree_util.tree_map(shape_of, loaded)
+            if tmpl_shapes != got_shapes:
+                raise ValueError(
+                    f"DMCI params in {cfg.image_checkpoint_path} do not "
+                    f"match the configured model (profile/channel "
+                    f"mismatch?): {got_shapes} vs expected {tmpl_shapes}")
+            params_i = loaded
         else:
             sd = load_torch_checkpoint(cfg.image_checkpoint_path)
             params_i = align_params(convert_state_dict(sd), params_i)

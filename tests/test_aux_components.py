@@ -452,3 +452,39 @@ def test_load_pretrained_accepts_orbax_dmci_dir(tmp_path):
     want = jax.tree_util.tree_leaves(marked)
     assert all(np.allclose(np.asarray(g), np.asarray(w))
                for g, w in zip(got, want))
+
+
+def test_vimeo_frame_cache_split_merge_and_nested_keys(tmp_path):
+    """Round-4 review findings: (a) constructing the test split must not
+    evict the train split's cache rows (only MISSING entries are counted,
+    merged with the loaded cache); (b) nested sequences_mp4/<a>/<b>.mp4
+    layouts must not collide on basename."""
+    pytest.importorskip("cv2")
+    from ssgvc_tpu.data.vimeo import (Vimeo90kMP4Dataset,
+                                      load_video_frames_info)
+
+    # nested layout: two DIFFERENT clips with the same basename
+    _write_mp4(str(tmp_path / "sequences_mp4" / "00001" / "0266.mp4"),
+               n_frames=8, seed=0)
+    _write_mp4(str(tmp_path / "sequences_mp4" / "00055" / "0266.mp4"),
+               n_frames=4, seed=1)  # too short for a 7-frame window
+    (tmp_path / "sep_trainlist.txt").write_text("00001/0266\n")
+    (tmp_path / "sep_testlist.txt").write_text("00055/0266\n")
+
+    ds_train = Vimeo90kMP4Dataset(str(tmp_path), split="train", crop_size=32,
+                                  n_frames=7, use_cache=True)
+    assert len(ds_train.paths) == 1  # 8-frame clip kept
+
+    # the 4-frame clip with the SAME basename must be filtered out
+    with pytest.raises(RuntimeError, match="no mp4 clips"):
+        Vimeo90kMP4Dataset(str(tmp_path), split="test", crop_size=32,
+                           n_frames=7, use_cache=True)
+
+    # cache now holds BOTH entries under collision-free relative keys
+    info = load_video_frames_info(str(tmp_path / "video_frames_cache.txt"))
+    assert len(info) == 2 and sorted(info.values()) == [4, 8]
+
+    # re-constructing train must not re-count (cache hit: rows preserved)
+    ds_again = Vimeo90kMP4Dataset(str(tmp_path), split="train", crop_size=32,
+                                  n_frames=7, use_cache=True)
+    assert len(ds_again.paths) == 1

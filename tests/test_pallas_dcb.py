@@ -80,7 +80,7 @@ def test_tile_picker_respects_vmem_budget():
     from ssgvc_tpu.ops.pallas_dcb import _pick_tile, _tile_vmem_bytes
 
     th = _pick_tile(136, 240, 256)
-    assert th < 8 and 136 % th == 0
+    assert th == 2 and 136 % th == 0  # th=4 estimates ~11.4MB > 9MB budget
     assert _tile_vmem_bytes(th, 240, 256) <= 9 * 1024 * 1024
     # tiny shapes keep large tiles (and the divisibility contract)
     assert _pick_tile(64, 16, 32) == 16

@@ -50,6 +50,11 @@ def main():
     tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
     crops = ([int(c) for c in argv[argv.index("--crops") + 1].split(",")]
              if "--crops" in argv else [64, 192])
+    # full-range sweep: the trained model is variable-rate over qp 0..63
+    # (lambda spans 50 -> 38400, a 768x distortion-weight range); the
+    # training EVAL_QPS subset [8..56] covers only ~130x of it
+    qps = ([int(q) for q in argv[argv.index("--qps") + 1].split(",")]
+           if "--qps" in argv else EVAL_QPS)
     dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
     # share rd_full's profile/recipe-tagged checkpoint naming; default to the
     # recon-skip recipe when its checkpoints exist (the round-4 marathon),
@@ -106,7 +111,7 @@ def main():
                         frames, masks, qp, index_map, qp_shift))
                 return out
 
-            curve = rd_sweep(eval_qp, qps=EVAL_QPS)
+            curve = rd_sweep(eval_qp, qps=qps)
 
             # collapse tripwire (docs/FROM_SCRATCH_TRAINING.md)
             from ssgvc_tpu.training.evaluate import latent_liveness
@@ -123,7 +128,7 @@ def main():
                 codec = VideoCodec(tr.dmci, ck["params_i"], tr.dmc,
                                    ck["params_p"])
                 gaps = {}
-                for qi, qp in enumerate(EVAL_QPS):
+                for qi, qp in enumerate(qps):
                     frames, masks = clips[0]
                     coded = evaluate_gop_coded(codec, frames, masks, qp=qp,
                                                index_map=index_map,
@@ -136,7 +141,7 @@ def main():
                                                  / max(est, 1e-9), 1)}
                 curve["est_vs_real_bpp"] = gaps
                 print(f"[{crop}px {variant}] est-vs-real gap%: "
-                      f"{[gaps[q]['gap_pct'] for q in EVAL_QPS]}")
+                      f"{[gaps[q]['gap_pct'] for q in qps]}")
 
             per_variant[variant] = curve
             print(f"[{crop}px {variant}] bpp="

@@ -124,7 +124,8 @@ def main():
             mono = c.get("bpp_monotone_increasing_in_qp")
             if mono is None:
                 mono = bpp_monotone(curve)
-            out += [f"### `{v}`", "", rd_table(curve, qps), "",
+            out += [f"### `{v}`", "",
+                    rd_table(curve, curve.get("qp", qps)), "",
                     f"bpp monotone rising in QP: **{mono}**", ""]
         bd_roi = latest.get("bd_rate_roi_psnr_pct")
         bd_glob = latest.get("bd_rate_psnr_pct")
@@ -162,7 +163,7 @@ def main():
                 if "bpp" not in curve:
                     continue
                 out += [f"### {crop}px / `{v}`", "",
-                        rd_table(curve, [8, 20, 32, 44, 56]), ""]
+                        rd_table(curve, curve.get("qp", [8, 20, 32, 44, 56])), ""]
             bd_db = per_v.get("bd_psnr_roi_db")
             if bd_db is not None:
                 out += [f"ROI BD-PSNR at matched rate ({crop}px, performance "

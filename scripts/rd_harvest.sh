@@ -21,9 +21,9 @@ else
   echo "[harvest] no live marathon (pgid '${PGID:-none}')"
 fi
 
-echo "[harvest] rd_eval at 64px (train res) + 192px (MS-SSIM)"
-$SCRUB timeout 3000 python experiments/rd_eval.py --profile tiny \
-  --crops 64,192 2>&1 | tail -30
+echo "[harvest] rd_eval at 64px (train res) + 192px (MS-SSIM), full QP range"
+$SCRUB timeout 6000 python experiments/rd_eval.py --profile tiny \
+  --crops 64,192 --qps 0,8,20,32,44,56,63 2>&1 | tail -30
 
 echo "[harvest] coded-pipeline bench row (CPU provenance)"
 $SCRUB timeout 1800 python experiments/bench_coded.py 4 --profile tiny \

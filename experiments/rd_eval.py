@@ -122,7 +122,7 @@ def main():
             # shrinkage with training is demonstrable, not asserted). Only at
             # the smallest crop — the codec jits per resolution and the gap
             # is resolution-independent to first order.
-            if crop == min(crops):
+            if crop == min(crops) and "--no-coded" not in argv:
                 from ssgvc_tpu.coding.codec import VideoCodec
                 from ssgvc_tpu.training.evaluate import evaluate_gop_coded
                 codec = VideoCodec(tr.dmci, ck["params_i"], tr.dmc,

@@ -74,7 +74,9 @@ def test_two_process_data_parallel_step():
     outs, losses = [], []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: two fresh JAX processes compile serially on this
+            # 1-core host, often while a training marathon owns the core
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

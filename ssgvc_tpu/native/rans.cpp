@@ -177,6 +177,15 @@ class RansEncImpl {
 class RansDecImpl {
  public:
   std::vector<CdfTable> tables;
+  // Per-row bucket index over the 16-bit cum space: bucket[b] = max{s :
+  // cdf[s] <= (b << (kProbBits - kBucketBits))}. Turns the per-symbol
+  // binary search (6-8 mispredicting iterations) into one bucket load plus
+  // an expected-O(1) forward scan — symbols sharing a bucket have freq
+  // <= 2^(kProbBits - kBucketBits), so long scans only happen for symbols
+  // that are rarely decoded. ~0.5KB per CDF row.
+  static constexpr int kBucketBits = 8;
+  static constexpr int kBucketCount = 1 << kBucketBits;
+  std::vector<std::vector<int16_t>> bucket_idx;  // parallel to `tables`
   std::vector<uint8_t> stream;
   std::vector<int32_t> decoded;
   bool two_streams = false;
@@ -192,6 +201,25 @@ class RansDecImpl {
 
   int add_cdf(const CdfTable& t) {
     tables.push_back(t);
+    // build the bucket index: one (kBucketCount + 1) row per CDF row; the
+    // +1 sentinel caps the forward scan at the row's last real symbol
+    std::vector<int16_t> idx(size_t(t.n_rows) * (kBucketCount + 1));
+    constexpr int shift = kProbBits - kBucketBits;
+    for (int r = 0; r < t.n_rows; ++r) {
+      const int32_t* cdf = t.cdfs.data() + size_t(r) * t.row_len;
+      const int32_t len = t.lengths[r];
+      int16_t* row = idx.data() + size_t(r) * (kBucketCount + 1);
+      int s = 0;
+      for (int b = 0; b < kBucketCount; ++b) {
+        const uint32_t lo_cum = uint32_t(b) << shift;
+        while (s + 1 <= len - 2 &&
+               static_cast<uint32_t>(cdf[s + 1]) <= lo_cum)
+          ++s;
+        row[b] = static_cast<int16_t>(s);
+      }
+      row[kBucketCount] = static_cast<int16_t>(len - 2);
+    }
+    bucket_idx.push_back(std::move(idx));
     return static_cast<int>(tables.size()) - 1;
   }
 
@@ -234,14 +262,15 @@ class RansDecImpl {
     const int32_t max_sym = len - 2;
 
     uint32_t cum = c.state & (kProbScale - 1);
-    // binary search for s with cdf[s] <= cum < cdf[s+1]
-    int lo = 0, hi = len - 1;
-    while (hi - lo > 1) {
-      int mid = (lo + hi) / 2;
-      if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid;
-      else hi = mid;
-    }
-    int s = lo;
+    // bucket-indexed lookup for s with cdf[s] <= cum < cdf[s+1]: start at
+    // the bucket's floor symbol and scan forward (expected O(1); see
+    // bucket_idx comment). Bit-identical result to the old binary search.
+    const int16_t* row = bucket_idx[group].data()
+        + size_t(index) * (kBucketCount + 1);
+    const int b = static_cast<int>(cum >> (kProbBits - kBucketBits));
+    int s = row[b];
+    const int s_hi = row[b + 1];
+    while (s < s_hi && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
     uint32_t start = static_cast<uint32_t>(cdf[s]);
     uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
     c.state = freq * (c.state >> kProbBits) + cum - start;

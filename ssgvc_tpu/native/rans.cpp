@@ -25,7 +25,10 @@ namespace {
 
 constexpr uint32_t kProbBits = 16;
 constexpr uint32_t kProbScale = 1u << kProbBits;
-constexpr uint32_t kRansL = 1u << 23;  // renormalization lower bound
+// 64-bit rANS state, 32-bit-word renormalization (ryg rans64 layout): one
+// branch + at most one 4-byte emission per symbol instead of a byte-wise
+// while loop — measurably faster on both sides of the coder.
+constexpr uint64_t kRans64L = 1ull << 31;  // renormalization lower bound
 constexpr int kBypassPrecision = 4;    // bypass chunk bits
 constexpr int kMaxBypassVal = (1 << kBypassPrecision) - 1;
 
@@ -82,27 +85,24 @@ class RansEncImpl {
   std::vector<uint8_t> encode_stream(const std::vector<PendingSymbol>& syms) {
     std::vector<uint8_t> out;
     out.reserve(syms.size());
-    uint32_t state = kRansL;
+    uint64_t state = kRans64L;
 
-    auto put_bits = [&](uint32_t val, int nbits) {
-      // bypass raw bits, also rANS-coded with uniform distribution
-      uint32_t freq = 1u << (kProbBits - nbits);
-      uint32_t start = val * freq;
-      uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
-      while (state >= x_max) {
+    auto put_symbol = [&](uint32_t start, uint32_t freq) {
+      const uint64_t x_max = ((kRans64L >> kProbBits) << 32) * freq;
+      if (state >= x_max) {  // single 32-bit emission restores the invariant
         out.push_back(static_cast<uint8_t>(state & 0xff));
-        state >>= 8;
+        out.push_back(static_cast<uint8_t>((state >> 8) & 0xff));
+        out.push_back(static_cast<uint8_t>((state >> 16) & 0xff));
+        out.push_back(static_cast<uint8_t>((state >> 24) & 0xff));
+        state >>= 32;
       }
       state = ((state / freq) << kProbBits) + (state % freq) + start;
     };
 
-    auto put_symbol = [&](uint32_t start, uint32_t freq) {
-      uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
-      while (state >= x_max) {
-        out.push_back(static_cast<uint8_t>(state & 0xff));
-        state >>= 8;
-      }
-      state = ((state / freq) << kProbBits) + (state % freq) + start;
+    auto put_bits = [&](uint32_t val, int nbits) {
+      // bypass raw bits, also rANS-coded with uniform distribution
+      uint32_t freq = 1u << (kProbBits - nbits);
+      put_symbol(val * freq, freq);
     };
 
     for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
@@ -141,8 +141,8 @@ class RansEncImpl {
       uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
       put_symbol(start, freq);
     }
-    // flush state (4 bytes, little endian at the back)
-    for (int i = 0; i < 4; ++i) {
+    // flush state (8 bytes, little endian at the back)
+    for (int i = 0; i < 8; ++i) {
       out.push_back(static_cast<uint8_t>(state & 0xff));
       state >>= 8;
     }
@@ -193,7 +193,7 @@ class RansDecImpl {
   struct Cursor {
     const uint8_t* ptr;
     const uint8_t* end;
-    uint32_t state;
+    uint64_t state;
   };
   Cursor cur[2];
   // pending decode bookkeeping for two-stream mode
@@ -241,17 +241,26 @@ class RansDecImpl {
     c.ptr = data;
     c.end = data + n;
     c.state = 0;
-    for (int i = 0; i < 4; ++i)
+    for (int i = 0; i < 8; ++i)
       c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+  }
+
+  static void renorm(Cursor& c) {
+    if (c.state < kRans64L) {  // pull one 32-bit word (big-endian in-stream
+      //                          order: the encoder reverses its buffer)
+      uint32_t w = 0;
+      for (int i = 0; i < 4; ++i)
+        w = (w << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+      c.state = (c.state << 32) | w;
+    }
   }
 
   uint32_t get_bits(Cursor& c, int nbits) {
     uint32_t freq = 1u << (kProbBits - nbits);
-    uint32_t cum = c.state & (kProbScale - 1);
+    uint32_t cum = static_cast<uint32_t>(c.state) & (kProbScale - 1);
     uint32_t val = cum / freq;
-    c.state = freq * (c.state >> kProbBits) + (cum % freq);
-    while (c.state < kRansL)
-      c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+    c.state = uint64_t(freq) * (c.state >> kProbBits) + (cum % freq);
+    renorm(c);
     return val;
   }
 
@@ -261,7 +270,7 @@ class RansDecImpl {
     const int32_t len = t.lengths[index];
     const int32_t max_sym = len - 2;
 
-    uint32_t cum = c.state & (kProbScale - 1);
+    uint32_t cum = static_cast<uint32_t>(c.state) & (kProbScale - 1);
     // bucket-indexed lookup for s with cdf[s] <= cum < cdf[s+1]: start at
     // the bucket's floor symbol and scan forward (expected O(1); see
     // bucket_idx comment). Bit-identical result to the old binary search.
@@ -273,9 +282,8 @@ class RansDecImpl {
     while (s < s_hi && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
     uint32_t start = static_cast<uint32_t>(cdf[s]);
     uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
-    c.state = freq * (c.state >> kProbBits) + cum - start;
-    while (c.state < kRansL)
-      c.state = (c.state << 8) | (c.ptr < c.end ? *c.ptr++ : 0);
+    c.state = uint64_t(freq) * (c.state >> kProbBits) + cum - start;
+    renorm(c);
 
     int32_t value;
     if (s == max_sym) {

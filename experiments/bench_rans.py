@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Host rANS coder microbenchmark -> artifacts/bench_rans.json.
+
+Measures raw symbol throughput of the C++ coder (native/rans.cpp) on the
+y scale-table alphabet: 2M symbols drawn uniformly per CDF row, encoded
+once, then decoded (best of 3). Decode throughput is the coded path's
+host-side bottleneck at 1080p (hundreds of thousands of latent symbols
+per frame), so this number has direct bearing on bench_coded's dec fps.
+
+    python experiments/bench_rans.py [n_million_symbols]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    from ssgvc_tpu.coding.cdf import build_y_cdf_tables
+    from ssgvc_tpu.coding.rans import RansDecoder, RansEncoder
+
+    n = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 2_000_000
+    tabs = build_y_cdf_tables()
+    cdfs = np.asarray(tabs.cdfs)
+    lengths = np.asarray(tabs.lengths)
+    offsets = np.asarray(tabs.offsets)
+
+    enc, dec = RansEncoder(), RansDecoder()
+    gid_e = enc.add_cdf(cdfs, lengths, offsets)
+    gid_d = dec.add_cdf(cdfs, lengths, offsets)
+
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, cdfs.shape[0], n).astype(np.int32)
+    sym = (rng.integers(0, 1 << 16, n)
+           % np.maximum(lengths[idx] - 2, 1)).astype(np.int32)
+    vals = (sym + offsets[idx]).astype(np.int16)
+
+    t0 = time.perf_counter()
+    enc.reset()
+    enc.encode_with_indexes(vals, idx, gid_e)
+    enc.flush()
+    enc_s = time.perf_counter() - t0
+    stream = enc.get_encoded_stream()
+
+    best = float("inf")
+    for _ in range(3):
+        dec.set_stream(stream)
+        t0 = time.perf_counter()
+        dec.decode_batch(idx, gid_d)
+        out = dec.get_decoded()
+        best = min(best, time.perf_counter() - t0)
+    assert np.array_equal(out.astype(np.int32), vals.astype(np.int32)), \
+        "round-trip mismatch"
+
+    row = {
+        "n_symbols": n,
+        "stream_mb": round(len(stream) / 1e6, 3),
+        "encode_msym_s": round(n / enc_s / 1e6, 1),
+        "decode_msym_s": round(n / best / 1e6, 1),
+        "provenance": "single host CPU core (nproc=1 image); threaded "
+                      "2-stream split scales decode with cores",
+    }
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/bench_rans.json", "w") as f:
+        json.dump(row, f, indent=2)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,17 @@ def main():
             "b6a810c): **124 fps / 8.06 ms/frame / 59% MFU**. "
             "`bench.py` prints the driver JSON line.", ""]
 
+    # ---- rANS microbench -------------------------------------------------
+    rb = _load("artifacts/bench_rans.json")
+    if rb:
+        out += ["## Host rANS coder (`experiments/bench_rans.py`)", "",
+                f"{rb['n_symbols'] / 1e6:.1f}M y-table symbols: encode "
+                f"**{_fmt(rb.get('encode_msym_s'), 1)} Msym/s**, decode "
+                f"**{_fmt(rb.get('decode_msym_s'), 1)} Msym/s** "
+                f"({rb.get('provenance', '')}). Round-3 baseline decode was "
+                "13.6 Msym/s; round-4 adds a bucket-indexed symbol lookup "
+                "and a 64-bit/32-bit-word rANS state.", ""]
+
     # ---- coded bench ----------------------------------------------------
     coded = _load("artifacts/bench_coded.json")
     if coded:

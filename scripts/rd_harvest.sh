@@ -25,6 +25,9 @@ echo "[harvest] rd_eval at 64px (train res) + 192px (MS-SSIM), full QP range"
 $SCRUB timeout 6000 python experiments/rd_eval.py --profile tiny \
   --crops 64,192 --qps 0,8,20,32,44,56,63 2>&1 | tail -30
 
+echo "[harvest] rANS microbench"
+$SCRUB timeout 600 python experiments/bench_rans.py 2>&1 | tail -1 || true
+
 echo "[harvest] coded-pipeline bench row (CPU provenance)"
 $SCRUB timeout 1800 python experiments/bench_coded.py 4 --profile tiny \
   --res 256x256 --json artifacts/bench_coded.json 2>&1 | tail -5 || true

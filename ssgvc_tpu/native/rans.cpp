@@ -54,8 +54,47 @@ class RansEncImpl {
   std::vector<uint8_t> encoded;
   bool two_streams = false;
 
+  // Precomputed per-(row, symbol) encode entries (ryg rans64 scheme): the
+  // per-symbol 64-bit division becomes a 128-bit reciprocal multiply.
+  struct EncSym {
+    uint64_t rcp_freq;
+    uint64_t bias;       // start (+ freq-1 wraps for the freq==1 case)
+    uint32_t freq;
+    uint32_t cmpl_freq;  // (1<<16) - freq
+    uint32_t rcp_shift;
+  };
+  std::vector<std::vector<EncSym>> enc_syms;  // parallel to `tables`
+
   int add_cdf(const CdfTable& t) {
     tables.push_back(t);
+    std::vector<EncSym> es(size_t(t.n_rows) * t.row_len);
+    for (int r = 0; r < t.n_rows; ++r) {
+      const int32_t* cdf = t.cdfs.data() + size_t(r) * t.row_len;
+      const int32_t len = t.lengths[r];
+      for (int sidx = 0; sidx + 1 < len; ++sidx) {
+        const uint32_t start = static_cast<uint32_t>(cdf[sidx]);
+        const uint32_t freq =
+            static_cast<uint32_t>(cdf[sidx + 1] - cdf[sidx]);
+        EncSym& e = es[size_t(r) * t.row_len + sidx];
+        e.freq = freq;
+        e.cmpl_freq = (1u << kProbBits) - freq;
+        if (freq < 2) {
+          // freq==0 rows never encode; freq==1: multiply-by-~0 trick
+          e.rcp_freq = ~0ull;
+          e.rcp_shift = 0;
+          e.bias = start + (1u << kProbBits) - 1;
+        } else {
+          uint32_t shift = 0;
+          while (freq > (1u << shift)) shift++;
+          e.rcp_freq = static_cast<uint64_t>(
+              (((static_cast<__uint128_t>(1) << (shift + 63)) + freq - 1)
+               / freq));
+          e.rcp_shift = shift - 1;
+          e.bias = start;
+        }
+      }
+    }
+    enc_syms.push_back(std::move(es));
     return static_cast<int>(tables.size()) - 1;
   }
 
@@ -87,27 +126,36 @@ class RansEncImpl {
     out.reserve(syms.size());
     uint64_t state = kRans64L;
 
-    auto put_symbol = [&](uint32_t start, uint32_t freq) {
-      const uint64_t x_max = ((kRans64L >> kProbBits) << 32) * freq;
-      if (state >= x_max) {  // single 32-bit emission restores the invariant
-        out.push_back(static_cast<uint8_t>(state & 0xff));
-        out.push_back(static_cast<uint8_t>((state >> 8) & 0xff));
-        out.push_back(static_cast<uint8_t>((state >> 16) & 0xff));
-        out.push_back(static_cast<uint8_t>((state >> 24) & 0xff));
-        state >>= 32;
-      }
-      state = ((state / freq) << kProbBits) + (state % freq) + start;
+    auto emit32 = [&]() {
+      out.push_back(static_cast<uint8_t>(state & 0xff));
+      out.push_back(static_cast<uint8_t>((state >> 8) & 0xff));
+      out.push_back(static_cast<uint8_t>((state >> 16) & 0xff));
+      out.push_back(static_cast<uint8_t>((state >> 24) & 0xff));
+      state >>= 32;
+    };
+
+    // division-free encode (ryg rans64): q = floor(x / freq) via a 128-bit
+    // reciprocal multiply, then x' = x + bias + q * cmpl_freq
+    auto put_sym = [&](const EncSym& e) {
+      const uint64_t x_max = ((kRans64L >> kProbBits) << 32) * e.freq;
+      if (state >= x_max) emit32();
+      const uint64_t q = static_cast<uint64_t>(
+          (static_cast<__uint128_t>(state) * e.rcp_freq) >> 64) >> e.rcp_shift;
+      state = state + e.bias + q * e.cmpl_freq;
     };
 
     auto put_bits = [&](uint32_t val, int nbits) {
-      // bypass raw bits, also rANS-coded with uniform distribution
-      uint32_t freq = 1u << (kProbBits - nbits);
-      put_symbol(val * freq, freq);
+      // bypass raw bits: uniform pow2 freq -> pure shifts, no division
+      const int freq_log = kProbBits - nbits;
+      const uint64_t x_max = ((kRans64L >> kProbBits) << 32) << freq_log;
+      if (state >= x_max) emit32();
+      state = ((state >> freq_log) << kProbBits) +
+              (state & ((1ull << freq_log) - 1)) +
+              (static_cast<uint64_t>(val) << freq_log);
     };
 
     for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
       const CdfTable& t = tables[it->group];
-      const int32_t* cdf = t.cdfs.data() + size_t(it->index) * t.row_len;
       const int32_t len = t.lengths[it->index];   // entries in cdf row
       const int32_t max_sym = len - 2;            // last valid = escape
       int32_t s = it->value - t.offsets[it->index];
@@ -137,9 +185,7 @@ class RansEncImpl {
         s = max_sym;
       }
 
-      uint32_t start = static_cast<uint32_t>(cdf[s]);
-      uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
-      put_symbol(start, freq);
+      put_sym(enc_syms[it->group][size_t(it->index) * t.row_len + s]);
     }
     // flush state (8 bytes, little endian at the back)
     for (int i = 0; i < 8; ++i) {

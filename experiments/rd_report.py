@@ -56,6 +56,44 @@ def bpp_monotone(curve) -> bool:
                               for i in range(len(bpps) - 1))
 
 
+def plot_rd_curves(latest, out_png):
+    """Two-panel RD figure (global PSNR / ROI PSNR vs bpp) for the newest
+    artifact — the rebuild's stand-in for the reference's absent
+    report_graphs.ipynb. Colors: validated categorical slots 1-2 (fixed
+    order), identity also carried by marker shape + direct labels."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = []  # (name, curve, color, marker)
+    for name, color, marker in (("performance", "#2a78d6", "o"),
+                                ("plain", "#eb6834", "s")):
+        c = (latest.get("variants", {}).get(name) or {}).get("estimated_rd")
+        if c:
+            series.append((name, c, color, marker))
+    if not series:
+        return False
+    fig, axes = plt.subplots(1, 2, figsize=(9.5, 3.6), sharex=True)
+    for ax, key, title in ((axes[0], "psnr", "Global PSNR"),
+                           (axes[1], "roi_psnr", "ROI PSNR (mask region)")):
+        for name, c, color, marker in series:
+            ax.plot(c["bpp"], c[key], color=color, marker=marker,
+                    markersize=5, linewidth=2, label=name)
+            ax.annotate(name, (c["bpp"][-1], c[key][-1]),
+                        textcoords="offset points", xytext=(4, -2),
+                        fontsize=8, color="#444444")
+        ax.set_xlabel("bpp")
+        ax.set_ylabel("dB")
+        ax.set_title(title, fontsize=10)
+        ax.grid(True, linewidth=0.4, alpha=0.4)
+        ax.spines[["top", "right"]].set_visible(False)
+    axes[0].legend(frameon=False, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return True
+
+
 def main():
     out = ["# Results", "",
            "Regenerate with `python experiments/rd_report.py`. Every number "
@@ -126,6 +164,12 @@ def main():
                 + (", " + ", ".join(recipe) if recipe else "")
                 + ", trained on the 1-CPU-core host. 192px eval clips.",
                 ""]
+        try:
+            if plot_rd_curves(latest,
+                              os.path.join(REPO, "artifacts/rd_curves.png")):
+                out += ["![RD curves](artifacts/rd_curves.png)", ""]
+        except Exception as e:  # matplotlib is best-effort
+            print(f"[report] rd figure skipped: {e}")
         for v, c in latest["variants"].items():
             curve = c.get("estimated_rd")
             if not curve:

@@ -40,11 +40,16 @@ def main():
            % np.maximum(lengths[idx] - 2, 1)).astype(np.int32)
     vals = (sym + offsets[idx]).astype(np.int16)
 
-    t0 = time.perf_counter()
-    enc.reset()
-    enc.encode_with_indexes(vals, idx, gid_e)
-    enc.flush()
-    enc_s = time.perf_counter() - t0
+    # best-of-3 on BOTH sides so the encode/decode comparison is symmetric
+    # (a single cold encode pays vector-growth/page-fault costs the warm
+    # decode loop never sees)
+    enc_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc.reset()
+        enc.encode_with_indexes(vals, idx, gid_e)
+        enc.flush()
+        enc_s = min(enc_s, time.perf_counter() - t0)
     stream = enc.get_encoded_stream()
 
     best = float("inf")
@@ -64,6 +69,10 @@ def main():
         "decode_msym_s": round(n / best / 1e6, 1),
         "provenance": "single host CPU core (nproc=1 image); threaded "
                       "2-stream split scales decode with cores",
+        "notes": "round-4 coder: bucket-indexed symbol lookup, 64-bit "
+                 "state / 32-bit-word renorm, division-free encode "
+                 "(reciprocal multiply). Round-3 HEAD decoded 13.6 Msym/s "
+                 "on this bench.",
     }
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/bench_rans.json", "w") as f:

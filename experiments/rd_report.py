@@ -119,13 +119,13 @@ def main():
     # ---- rANS microbench -------------------------------------------------
     rb = _load("artifacts/bench_rans.json")
     if rb:
+        note = rb.get("notes", "")
         out += ["## Host rANS coder (`experiments/bench_rans.py`)", "",
                 f"{rb['n_symbols'] / 1e6:.1f}M y-table symbols: encode "
                 f"**{_fmt(rb.get('encode_msym_s'), 1)} Msym/s**, decode "
                 f"**{_fmt(rb.get('decode_msym_s'), 1)} Msym/s** "
-                f"({rb.get('provenance', '')}). Round-3 baseline decode was "
-                "13.6 Msym/s; round-4 adds a bucket-indexed symbol lookup "
-                "and a 64-bit/32-bit-word rANS state.", ""]
+                f"({rb.get('provenance', '')})."
+                + (f" {note}" if note else ""), ""]
 
     # ---- coded bench ----------------------------------------------------
     coded = _load("artifacts/bench_coded.json")

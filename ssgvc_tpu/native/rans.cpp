@@ -187,7 +187,11 @@ class RansEncImpl {
 
       put_sym(enc_syms[it->group][size_t(it->index) * t.row_len + s]);
     }
-    // flush state (8 bytes, little endian at the back)
+    // flush state (8 bytes, little endian at the back). NOTE: 4 bytes more
+    // than the old 32-bit coder's flush — a per-STREAM constant that is
+    // invisible at 1080p (~3e-5 bpp) but measurable in tiny-crop evals
+    // (+0.008 bpp/frame at 64px); est-vs-real bpp gaps are not comparable
+    // across this format change.
     for (int i = 0; i < 8; ++i) {
       out.push_back(static_cast<uint8_t>(state & 0xff));
       state >>= 8;

@@ -105,7 +105,15 @@ def main():
         cfg.optimizer.min_lr = 5e-5
         cfg.roi_weight = 100.0
         cfg.lambda_normalize = "--lnorm" in argv
-        trainer = Trainer(cfg, total_iters=steps,
+        # SGDR semantics need the cosine to ANNEAL within the cycle: the
+        # marathon passes steps=200000 but a 50-min slice on this host runs
+        # ~6k steps, so without this cap every cycle trains at ~base_lr
+        # throughout and the cycle-end eval lands at a high-LR (noisy)
+        # point. --sched-steps sizes the cosine to the realistic step
+        # count; past it the schedule clamps at min_lr (warmup_cosine).
+        sched_steps = (int(argv[argv.index("--sched-steps") + 1])
+                       if "--sched-steps" in argv else 7000)
+        trainer = Trainer(cfg, total_iters=min(steps, sched_steps),
                           dmc_cfg=DMCConfig.variant(
                               variant, recon_residual=recon_skip, **dmc_kw),
                           dmci_cfg=DMCIConfig(**dmci_kw))

@@ -226,6 +226,10 @@ def main():
             plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
         results["bd_psnr_roi_db"] = bd_psnr(
             plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+        results["bd_rate_psnr_pct"] = bd_rate(
+            plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+        results["bd_psnr_db"] = bd_psnr(
+            plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
         for v, c in results["variants"].items():
             bpps = c["estimated_rd"]["bpp"]
             c["bpp_monotone_increasing_in_qp"] = all(

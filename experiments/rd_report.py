@@ -190,6 +190,13 @@ def main():
                 "(negative = rate saved at equal ROI quality); global-PSNR "
                 f"BD-rate: {_fmt(bd_glob, 1)}%; ROI BD-PSNR at matched rate: "
                 f"**{_fmt(bd_db, 2)} dB** (reference claim: +1-1.5 dB)", ""]
+        if any(isinstance(x, float) and x != x for x in (bd_roi, bd_glob)):
+            out += ["(BD-rate is NaN when the two curves' PSNR ranges do "
+                    "not overlap — either the anchor's curve is flat in QP, "
+                    "or the test curve dominates by more than its own span, "
+                    "so there is no common quality interval to integrate "
+                    "rate over. BD-PSNR at matched rate is the meaningful "
+                    "comparison in that regime.)", ""]
         gap = (full or {}).get("estimate_vs_real_bpp")
         if gap:
             out += ["Estimated vs real (rANS) bpp:", "",
@@ -222,7 +229,10 @@ def main():
             bd_db = per_v.get("bd_psnr_roi_db")
             if bd_db is not None:
                 out += [f"ROI BD-PSNR at matched rate ({crop}px, performance "
-                        f"vs plain): **{_fmt(bd_db, 2)} dB**", ""]
+                        f"vs plain): **{_fmt(bd_db, 2)} dB**; BD-rate ROI "
+                        f"{_fmt(per_v.get('bd_rate_roi_psnr_pct'), 1)}% / "
+                        f"global {_fmt(per_v.get('bd_rate_psnr_pct'), 1)}%",
+                        ""]
 
     # ---- e2e journey ----------------------------------------------------
     e2e = _load("artifacts/e2e_waymo_format.json")

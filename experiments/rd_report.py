@@ -94,6 +94,47 @@ def plot_rd_curves(latest, out_png):
     return True
 
 
+def plot_rd_eval_curves(per_v, crop, out_png):
+    """Same two-panel RD figure for one crop of artifacts/rd_eval.json
+    (checkpoint re-evaluation: full QP sweep at train + MS-SSIM res)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = []
+    for name, color, marker in (("performance", "#2a78d6", "o"),
+                                ("plain", "#eb6834", "s")):
+        c = per_v.get(name)
+        c = (c.get("estimated_rd") or c) if isinstance(c, dict) else None
+        if c and "bpp" in c:
+            series.append((name, c, color, marker))
+    if not series:
+        return False
+    fig, axes = plt.subplots(1, 2, figsize=(9.5, 3.6), sharex=True)
+    for ax, key, title in ((axes[0], "psnr", f"Global PSNR ({crop}px)"),
+                           (axes[1], "roi_psnr", f"ROI PSNR ({crop}px)")):
+        for name, c, color, marker in series:
+            ax.plot(c["bpp"], c[key], color=color, marker=marker,
+                    markersize=5, linewidth=2, label=name)
+        tb = per_v.get("trivial_bounds") or {}
+        cp = tb.get("copy_prev_psnr_db")
+        if key == "psnr" and cp:
+            ax.axhline(cp, color="#888888", linewidth=1, linestyle="--")
+            ax.annotate("copy-prev bound", (0, cp),
+                        textcoords="offset points", xytext=(4, 3),
+                        fontsize=8, color="#666666")
+        ax.set_xlabel("bpp")
+        ax.set_ylabel("dB")
+        ax.set_title(title, fontsize=10)
+        ax.grid(True, linewidth=0.4, alpha=0.4)
+        ax.spines[["top", "right"]].set_visible(False)
+    axes[0].legend(frameon=False, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return True
+
+
 def main():
     out = ["# Results", "",
            "Regenerate with `python experiments/rd_report.py`. Every number "
@@ -212,6 +253,12 @@ def main():
     if ev and ev.get("crops"):
         out += ["## Checkpoint re-evaluation (`artifacts/rd_eval.json`)", ""]
         for crop, per_v in ev["crops"].items():
+            try:
+                png = f"artifacts/rd_eval_curves_{crop}px.png"
+                if plot_rd_eval_curves(per_v, crop, os.path.join(REPO, png)):
+                    out += [f"![RD re-eval {crop}px]({png})", ""]
+            except Exception as e:  # matplotlib is best-effort
+                print(f"[report] rd_eval figure ({crop}px) skipped: {e}")
             tb = per_v.get("trivial_bounds")
             if tb:
                 out += [f"Zero-rate reference points at {crop}px on the same "

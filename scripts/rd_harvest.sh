@@ -32,6 +32,9 @@ echo "[harvest] coded-pipeline bench row (CPU provenance)"
 $SCRUB timeout 1800 python experiments/bench_coded.py 4 --profile tiny \
   --res 256x256 --json artifacts/bench_coded.json 2>&1 | tail -5 || true
 
+echo "[harvest] RD trajectory from the marathon log"
+python experiments/rd_trajectory.py || true
+
 echo "[harvest] regenerate RESULTS.md"
 $SCRUB timeout 600 python experiments/rd_report.py
 

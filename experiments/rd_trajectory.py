@@ -55,7 +55,13 @@ def parse(path):
             epochs[-1].append({"cycle": int(cyc), "when": when,
                                "rc": int(rc), "variants": pending})
             pending = {}
-    return epochs[-1]
+    cycles = epochs[-1]
+    if pending:
+        # a cycle that was stopped mid-run but already evaluated >=1 variant
+        last = cycles[-1]["cycle"] if cycles else 0
+        cycles.append({"cycle": last + 1, "when": "(stopped mid-cycle)",
+                       "rc": None, "partial": True, "variants": pending})
+    return cycles
 
 
 def summarize(cycles):
@@ -85,8 +91,13 @@ def main():
     cycles = parse(log)
     out = {"source": os.path.relpath(log, REPO),
            "note": "192px eval mini-sweep (QP 8..56) at the end of each "
-                   "warm-restart cycle; cycles 1-4 constant-LR, 5+ annealed "
-                   "(SGDR) per commit 21dff4d",
+                   "warm-restart cycle; cycles 1-4 constant-LR, 5 annealed "
+                   "(SGDR) per commit 21dff4d. Held-out eval peaked at "
+                   "cycle 3 and declined after (train PSNR kept climbing): "
+                   "further 7e-4 warm restarts kick the model out of its "
+                   "basin, so the marathon was stopped mid-cycle-5 and the "
+                   "cycle-4 checkpoint pair (best surviving, matching the "
+                   "committed rd_continued.json) is what rd_eval harvests.",
            "cycles": cycles, "summary": summarize(cycles)}
     dst = os.path.join(REPO, "artifacts/rd_trajectory.json")
     os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -97,11 +97,13 @@ def main():
         shutil.copytree(path, prev)
         cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
         cfg.precision = "fp32"
-        # Same LR as the fresh run: training is still far below the
-        # temporal-copy PSNR bound (~30 dB on these clips vs ~14 dB reached),
-        # i.e. nowhere near convergence — each cycle is a warm restart
-        # (SGDR-style), not a fine-tune.
-        cfg.optimizer.base_lr = 7e-4
+        # Default 7e-4 = the fresh run's LR (SGDR warm restart). Held-out
+        # eval peaked at cycle 3 and regressed under further 7e-4 restarts
+        # (rd_trajectory.json), so late cycles pass --base-lr ~2e-4 for an
+        # annealed POLISH from the peak pair instead of another restart.
+        cfg.optimizer.base_lr = (
+            float(argv[argv.index("--base-lr") + 1])
+            if "--base-lr" in argv else 7e-4)
         cfg.optimizer.min_lr = 5e-5
         cfg.roi_weight = 100.0
         cfg.lambda_normalize = "--lnorm" in argv

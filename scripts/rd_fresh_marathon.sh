@@ -1,0 +1,69 @@
+#!/bin/bash
+# Fresh-data keep-best RD marathon.
+#
+# The round-4 marathon overfit: the train set was a FIXED 487-clip
+# procedural sample (seed=3), train PSNR ran ~2 dB above held-out eval by
+# cycle 4, and both further 7e-4 warm restarts and a 2e-4 same-data polish
+# REGRESSED eval (rd_trajectory.json, artifacts/rd_fresh_trajectory.json
+# row -1). This marathon draws a NEW 512-clip sample every cycle
+# (--data-seed), i.e. effectively infinite training data, and rotates
+# per-variant .best snapshots on held-out eval so the harvested pair can
+# only improve on the committed cycle-4 result.
+#
+# Detach-safe (survives session/round end):
+#   setsid nohup bash scripts/rd_fresh_marathon.sh < /dev/null \
+#     > /dev/null 2>&1 & echo $! > /tmp/fresh_marathon.pid
+#
+# Stop with: kill -TERM -- "-$(cat /tmp/fresh_marathon.pid)"
+cd /root/repo
+LOG=logs/rd_fresh.log
+SCRUB="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu"
+HOURS="${FRESH_HOURS:-10}"
+END=$(( $(date +%s) + HOURS * 3600 ))
+echo "=== fresh marathon start $(date) (deadline +${HOURS}h) ===" >> "$LOG"
+
+# Seed .best from the current live pair (the restored cycle-4 peak) and
+# score it so cycle 1 only replaces it on a genuine improvement.
+for v in performance plain; do
+  live=artifacts/rd_ckpt_${v}_tiny-skip
+  [ -d "$live.best" ] || cp -r "$live" "$live.best"
+done
+if [ ! -f artifacts/rd_fresh_best.json ]; then
+  # artifacts/rd_continued.json currently holds the committed cycle-4
+  # harvest eval; score it as the baseline without copying checkpoints.
+  $SCRUB python - <<'PY' >> "$LOG" 2>&1
+import json, sys
+sys.path.insert(0, "experiments")
+from rd_keep_best import score_of  # noqa: E402  (repo root cwd)
+res = json.load(open("artifacts/rd_continued.json"))
+best = {v: {"score": score_of(c["estimated_rd"]), "cycle": 0}
+        for v, c in res["variants"].items() if "estimated_rd" in c}
+json.dump(best, open("artifacts/rd_fresh_best.json", "w"), indent=2)
+print("[fresh] baseline best:", best)
+PY
+fi
+
+i=1
+# a cycle is ~110 min (2x ~50 min train slices + eval); stop when one
+# can't finish before the deadline
+while [ $(( $(date +%s) + 7500 )) -lt "$END" ]; do
+  echo "=== fresh cycle $i start $(date) data-seed $((1000 + i)) ===" >> "$LOG"
+  $SCRUB timeout 8000 python experiments/rd_continue.py 200000 \
+    --budget-min 80 --profile tiny --lnorm --recon-skip \
+    --seed $((20 + i)) --data-seed $((1000 + i)) \
+    --base-lr 4e-4 --sched-steps 4800 >> "$LOG" 2>&1
+  echo "=== fresh cycle $i done $(date) rc=$? ===" >> "$LOG"
+  cp artifacts/rd_continued.json "artifacts/rd_fresh_cycle${i}.json"
+  $SCRUB python experiments/rd_keep_best.py "$i" >> "$LOG" 2>&1
+  i=$((i + 1))
+done
+
+# Final state: live = best pair, ready for scripts/rd_harvest.sh.
+for v in performance plain; do
+  live=artifacts/rd_ckpt_${v}_tiny-skip
+  if [ -d "$live.best" ]; then
+    rm -rf "$live" && cp -r "$live.best" "$live"
+  fi
+done
+echo "=== fresh marathon done $(date); live pair = best ===" >> "$LOG"
+touch artifacts/rd_fresh_done

@@ -269,6 +269,31 @@ def main():
                 "README.md:7); on this 1-CPU-core host it is shown as a "
                 "trajectory toward that regime.", ""]
 
+    # ---- fresh-data keep-best marathon trajectory ------------------------
+    ftraj = _load("artifacts/rd_fresh_trajectory.json")
+    if ftraj:
+        out += ["## Fresh-data keep-best cycles "
+                "(`artifacts/rd_fresh_trajectory.json`)", "",
+                "The fixed-sample marathon overfit (train PSNR ~2 dB above "
+                "held-out eval by cycle 4; same-data continuation at any LR "
+                "regressed eval — cycle −1 below is the 2e-4 polish negative "
+                "control). These cycles resample the procedural train set "
+                "every cycle (`rd_continue --data-seed`) and rotate "
+                "per-variant `.best` snapshots on held-out eval "
+                "(mean global + mean ROI PSNR, pinned 192px clips), so the "
+                "harvested pair is monotone-best by construction.", "",
+                "| cycle | perf score | perf action | plain score | "
+                "plain action | ROI BD-PSNR (dB) |", "|---|---|---|---|---|---|"]
+        for r in ftraj:
+            pf, pl = r.get("performance", {}), r.get("plain", {})
+            out.append(
+                f"| {r.get('cycle')} | {_fmt(pf.get('score'), 3)} "
+                f"| {pf.get('action', pf.get('gate', '—'))} "
+                f"| {_fmt(pl.get('score'), 3)} "
+                f"| {pl.get('action', pl.get('gate', '—'))} "
+                f"| {_fmt(r.get('bd_psnr_roi_db'), 2)} |")
+        out.append("")
+
     # ---- rd_eval (multi-resolution + bpp gap) ---------------------------
     ev = _load("artifacts/rd_eval.json")
     if ev and ev.get("crops"):

@@ -186,11 +186,27 @@ def main():
         out.append("")
 
     # ---- RD: latest full + continued -----------------------------------
+    # rd_continued.json is a LIVE file: an in-flight marathon cycle
+    # overwrites it per variant, so mid-cycle it can hold one variant only
+    # (round-3 verdict weak-spot #4). Fall back to the frozen harvest copy
+    # whenever the live file is incomplete.
     full = _load("artifacts/rd_full.json")
     cont = _load("artifacts/rd_continued.json")
+    cont_src = "artifacts/rd_continued.json"
+
+    def _complete(a):
+        vs = (a or {}).get("variants") or {}
+        return {"performance", "plain"} <= {
+            v for v, c in vs.items() if "estimated_rd" in c}
+
+    if not _complete(cont):
+        harv = _load("artifacts/rd_continued_harvest.json")
+        if _complete(harv):
+            cont = harv
+            cont_src = ("artifacts/rd_continued_harvest.json (frozen "
+                        "harvest; live rd_continued.json was mid-cycle)")
     latest = cont if (cont and cont.get("variants")) else full
-    src = ("artifacts/rd_continued.json" if latest is cont
-           else "artifacts/rd_full.json")
+    src = cont_src if latest is cont else "artifacts/rd_full.json"
     if latest and latest.get("variants"):
         qps = [8, 20, 32, 44, 56]
         recipe = []

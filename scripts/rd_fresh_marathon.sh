@@ -67,3 +67,8 @@ for v in performance plain; do
 done
 echo "=== fresh marathon done $(date); live pair = best ===" >> "$LOG"
 touch artifacts/rd_fresh_done
+# Self-harvest so the refreshed eval/RESULTS exist even if no session is
+# around at deadline (explicit "" skips rd_harvest's marathon-stop step —
+# this marathon is already done and /tmp/marathon.pid is a stale pid file).
+bash scripts/rd_harvest.sh "" >> "$LOG" 2>&1 || true
+echo "=== self-harvest done $(date) ===" >> "$LOG"

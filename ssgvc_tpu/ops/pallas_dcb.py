@@ -37,6 +37,16 @@ COMPILES AND RUNS on the real chip — c=256 inter shapes: 1.495 ms vs
 a Mosaic layout-propagation failure broadcasting a bias slice at column
 offset 640; fixed by pre-splitting the ffn weight/bias into two 2C halves
 on the host so the kernel never slices mid-array (see ffn section).
+
+Full-model A/B (artifacts/bench_r04_pallas_dcb.json): the 1080p bench with
+SSGVC_PALLAS_DCB=1 measures 97.4 fps vs 120.4 fps for the pure-XLA default
+— the isolated win does not survive integration, because each pallas_call
+is a fusion barrier: XLA can no longer fuse the blocks' neighbors (quant
+scales, concat adaptors, checkerboard masking) into the surrounding convs,
+and re-layouts appear at every kernel boundary. The flag therefore stays
+OPT-IN; the kernel remains the right building block for a future
+whole-subgraph fusion (several DCBs + adaptors in ONE pallas_call), which
+is where the isolated 1.78x would compound instead of being taxed.
 """
 
 from __future__ import annotations

@@ -1,0 +1,378 @@
+#!/usr/bin/env python
+"""RD training ON the TPU: on-device data + scanned mega-steps.
+
+Rounds 1-3 ran the RD recipe (experiments/rd_full.py) on the 1-core host CPU
+at ~2-4 optimizer steps/s — never enough compute to reach the quality regime
+where rate-distortion actually trades (round-3 verdict #1). The tunneled TPU
+runs the same step in ~10 ms, but pays a fixed host round-trip per dispatched
+call, so the host-side `for step in range(...)` loop would still cap at a few
+steps/s. This runner removes the host from the loop entirely:
+
+  * batches are generated ON the chip (data.device_synth.synth_batch — same
+    smooth-texture distribution as SyntheticClipDataset, verified by
+    tests/test_device_synth.py), so no input transfer ever happens;
+  * one jitted mega-step `lax.scan`s K full optimizer steps (fresh batch +
+    fresh QP per inner step) and returns only scalar telemetry means — ONE
+    tunnel round-trip per K steps.
+
+Recipe parity with rd_full.py (same profiles, LR/schedule, ROI weight,
+pretrain->variant order, liveness gate, pinned 192px eval set seed=777,
+keep-best scoring from rd_keep_best.score_of). Checkpoints land in
+rd_full.ckpt_path(variant) so rd_continue/rd_eval/rd_report all pick them up.
+
+    python experiments/rd_tpu.py --budget-min 70 [--profile tiny] [--k 100]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import rd_full
+from rd_full import EVAL_QPS, GATE_STEP, liveness_gate
+from rd_keep_best import score_of
+
+from ssgvc_tpu.data.device_synth import sample_qp as sample_qp_dev
+from ssgvc_tpu.data.device_synth import synth_batch
+
+
+def _tpu_lock():
+    """Same exclusive-client discipline as bench.py: two concurrent axon
+    clients wedge the tunnel (round-2 postmortem)."""
+    import fcntl
+
+    if os.environ.get("SSGVC_TPU_LOCK_HELD"):
+        return None
+    f = open("/tmp/ssgvc_tpu_client.lock", "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        f.close()
+        raise SystemExit("another TPU client holds the lock; refusing")
+    return f
+
+
+def make_dmci_megastep(model, tx, k: int, batch: int, size: int,
+                       lnorm: bool):
+    """K intra-model optimizer steps per device call (rd_full.pretrain_dmci
+    inner step, with the batch generated on device)."""
+    import optax
+    from ssgvc_tpu.training.loss import compute_lambda
+
+    def one(carry, key):
+        params, opt_state = carry
+        kd, kq, kn = jax.random.split(key, 3)
+        x = synth_batch(kd, batch=batch, size=size, seq_len=1)["frames"][:, 0]
+        qp = sample_qp_dev(kq)
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, qp, train=True,
+                              rngs={"noise": kn})
+            mse = jnp.mean((out["dpb"]["frame"].astype(jnp.float32) - x) ** 2)
+            lam = compute_lambda(qp, 50.0, 38400.0)
+            loss = jnp.mean(out["bpp"]) + lam * mse
+            if lnorm:
+                loss = loss / lam
+            return loss, (mse, jnp.mean(out["bpp"]))
+
+        grads, (mse, bpp) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), (mse, bpp)
+
+    @jax.jit
+    def mega(params, opt_state, key):
+        keys = jax.random.split(key, k)
+        (params, opt_state), (mses, bpps) = jax.lax.scan(
+            one, (params, opt_state), keys)
+        return params, opt_state, mses.mean(), bpps.mean()
+
+    return mega
+
+
+def make_dmc_megastep(trainer, k: int, batch: int, size: int, seq_len: int):
+    """K full GOP train steps per device call: fresh on-device clip batch and
+    fresh QP per inner step (distribution parity with rd_full.sample_qp)."""
+
+    def one(state, key):
+        kd, kq, kt = jax.random.split(key, 3)
+        b = synth_batch(kd, batch=batch, size=size, seq_len=seq_len)
+        qp = sample_qp_dev(kq)
+        state, aux = trainer.train_step(state, b, qp, kt)
+        return state, (aux["loss"], aux["bpp"], aux["psnr"])
+
+    @jax.jit
+    def mega(state, key):
+        keys = jax.random.split(key, k)
+        state, (losses, bpps, psnrs) = jax.lax.scan(one, state, keys)
+        return state, (losses.mean(), bpps.mean(), psnrs.mean())
+
+    return mega
+
+
+def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
+                      budget_s: float, lnorm: bool, seed: int = 17):
+    import optax
+    from ssgvc_tpu.config import DMCIConfig
+    from ssgvc_tpu.models.dmci import DMCI
+    from ssgvc_tpu.training.calibrate import calibrate_dmci
+    from ssgvc_tpu.training.loss import psnr_from_mse
+    from ssgvc_tpu.utils.checkpoint import save_checkpoint
+
+    model = DMCI(DMCIConfig(**rd_full.MID_DMCI))
+    if "--reuse-dmci" in sys.argv and os.path.isdir(rd_full.dmci_ckpt_path()):
+        from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+        ck = restore_checkpoint(rd_full.dmci_ckpt_path())
+        print(f"[dmci] reused pretrained params from "
+              f"{rd_full.dmci_ckpt_path()}", flush=True)
+        return model, ck["params_i"]
+    rng = jax.random.PRNGKey(seed)
+    x0 = synth_batch(rng, batch=batch, size=size, seq_len=1)["frames"][:, 0]
+    params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
+                        train=False)["params"]
+    params = calibrate_dmci(model, params, x0)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+    mega = make_dmci_megastep(model, tx, k, batch, size, lnorm)
+
+    t0 = time.perf_counter()
+    i = 0
+    while i < steps and time.perf_counter() - t0 < budget_s:
+        rng, sub = jax.random.split(rng)
+        params, opt_state, mse, bpp = mega(params, opt_state, sub)
+        i += k
+        print(f"[dmci] step {i}: psnr {float(psnr_from_mse(mse)):.2f} "
+              f"bpp {float(bpp):.4f} ({time.perf_counter() - t0:.0f}s)",
+              flush=True)
+    params = jax.device_get(params)
+    os.makedirs("artifacts", exist_ok=True)
+    save_checkpoint(rd_full.dmci_ckpt_path(), {"params_i": params})
+    print(f"[dmci] {i} steps in {time.perf_counter() - t0:.0f}s; saved to "
+          f"{rd_full.dmci_ckpt_path()}")
+    return model, params
+
+
+def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
+                      size: int, seq_len: int, budget_s: float,
+                      eval_clips, gate_clips, eval_every: int,
+                      params_i, lnorm: bool, seed: int = 0):
+    """Train one DMC variant with mega-steps; keep the best params by held-out
+    eval score (rd_keep_best semantics, but within the run: every eval that
+    improves the score snapshots params to host memory)."""
+    from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
+    from ssgvc_tpu.training.evaluate import evaluate_gop_estimated, rd_sweep
+    from ssgvc_tpu.training.trainer import Trainer
+    from ssgvc_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
+    cfg.precision = "fp32"
+    cfg.optimizer.base_lr = 7e-4
+    cfg.optimizer.min_lr = 5e-5
+    cfg.roi_weight = 100.0
+    cfg.lambda_normalize = lnorm
+    trainer = Trainer(
+        cfg, total_iters=steps,
+        dmc_cfg=DMCConfig.variant(variant, recon_residual=rd_full.RECON_SKIP,
+                                  **rd_full.MID_DMC),
+        dmci_cfg=DMCIConfig(**rd_full.MID_DMCI))
+    mega = make_dmc_megastep(trainer, k, batch, size, seq_len)
+    index_map = list(cfg.compression.index_map)
+    qp_shift = list(trainer.dmc_cfg.qp_shift)
+
+    def eval_curve(st):
+        def eval_qp(qp):
+            out = []
+            for frames, masks in eval_clips:
+                out.extend(evaluate_gop_estimated(
+                    trainer.dmci, st.params_i, trainer.dmc, st.params_p,
+                    frames, masks, qp, index_map, qp_shift))
+            return out
+
+        return rd_sweep(eval_qp, qps=EVAL_QPS)
+
+    t0 = time.perf_counter()
+    # Gate-failure retries: at mega-step speed a 1000-step probe costs ~1
+    # min (the jitted mega is cached in-process), so a collapsed fresh init
+    # — the mean-image attractor is a seed lottery, docs/
+    # FROM_SCRATCH_TRAINING.md — is answered by re-rolling the init instead
+    # of abandoning the variant (what the CPU marathon effectively did
+    # across cycles).
+    max_attempts = 6
+    state = None
+    for attempt in range(max_attempts):
+        s = seed + 1000 * attempt
+        batch0 = synth_batch(jax.random.PRNGKey(s + 2), batch=batch,
+                             size=size, seq_len=seq_len)
+        state = trainer.init_state(jax.random.PRNGKey(s), batch0,
+                                   params_i=params_i)
+        rng = jax.random.PRNGKey(s + 1)
+        i = 0
+        while i < GATE_STEP and time.perf_counter() - t0 < budget_s:
+            rng, sub = jax.random.split(rng)
+            state, (loss, bpp, psnr) = mega(state, sub)
+            i += k
+        ok, _ = liveness_gate(trainer, jax.device_get(state),
+                              gate_clips[0], gate_clips[1], variant,
+                              i + 100000 * attempt)
+        if ok:
+            break
+        print(f"[gate][{variant}] attempt {attempt}: collapsed at step {i} "
+              f"— re-rolling init", flush=True)
+    else:
+        print(f"[gate][{variant}] all {max_attempts} inits collapsed",
+              flush=True)
+        return trainer, None, False
+    gate_pending = False
+    best = {"score": -1e9, "params_p": None, "step": 0, "curve": None}
+    while i < steps and time.perf_counter() - t0 < budget_s:
+        rng, sub = jax.random.split(rng)
+        state, (loss, bpp, psnr) = mega(state, sub)
+        i += k
+        if i % 500 < k:
+            print(f"[{variant}] step {i}: loss {float(loss):.3f} "
+                  f"bpp {float(bpp):.4f} psnr {float(psnr):.2f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if i % eval_every < k:
+            curve = eval_curve(state)
+            s = score_of(curve)
+            marker = ""
+            if s > best["score"]:
+                best = {"score": s, "params_p": jax.device_get(state.params_p),
+                        "step": i, "curve": curve}
+                marker = "  <- best"
+            print(f"[{variant}] eval @ {i}: score {s:.3f} "
+                  f"psnr={[round(p, 2) for p in curve['psnr']]} "
+                  f"roi={[round(p, 2) for p in curve['roi_psnr']]}{marker}",
+                  flush=True)
+    del gate_pending
+    # final eval; keep whichever of (final, best-so-far) scores higher
+    curve = eval_curve(state)
+    s = score_of(curve)
+    if s > best["score"]:
+        best = {"score": s, "params_p": jax.device_get(state.params_p),
+                "step": i, "curve": curve}
+    print(f"[{variant}] done: {i} steps in {time.perf_counter() - t0:.0f}s; "
+          f"best score {best['score']:.3f} @ step {best['step']}", flush=True)
+    st = jax.device_get(state)
+    save_checkpoint(rd_full.ckpt_path(variant),
+                    {"params_p": best["params_p"], "params_i": st.params_i})
+    return trainer, {"state": st, "best": best}, True
+
+
+def main():
+    argv = sys.argv[1:]
+
+    def arg(name, default, cast=float):
+        return cast(argv[argv.index(name) + 1]) if name in argv else default
+
+    budget_min = arg("--budget-min", 60.0)
+    k = arg("--k", 100, int)
+    # steps sizes the cosine schedule (rd_continue's --sched-steps lesson:
+    # anneal within the realistic step count; past it the schedule clamps at
+    # min_lr and the run polishes)
+    steps = arg("--steps", 60000, int)
+    seq_len = 4
+    lnorm = "--lnorm" in argv
+    profile = "tiny" if ("--profile" in argv
+                         and argv[argv.index("--profile") + 1] == "tiny") \
+        else "tiny"  # tiny is the only profile with committed comparables
+    if profile == "tiny":
+        rd_full.MID_DMC, rd_full.MID_DMCI = rd_full.TINY_DMC, rd_full.TINY_DMCI
+        rd_full.PROFILE = "tiny"
+    rd_full.LNORM = lnorm
+    # TPU sizing: at tiny-profile shapes the step is LATENCY-bound (hundreds
+    # of small ops per GOP step), so batch is nearly free on the chip — keep
+    # the marathon's 64px crop (committed comparables trained there) but run
+    # bs=32, 8x the CPU marathon's samples per step at similar step time
+    crop = arg("--crop", 64, int)
+    bs = arg("--batch", 32, int)
+    eval_crop = arg("--eval-crop", 192, int)
+    # y must be even (checkerboard halves) AND divisible by 4 (the 4x hyper
+    # stage): crop % 64 == 0. 96 fails inside y_prior_fusion with a
+    # hierarchical/temporal shape mismatch — fail fast instead.
+    for name, c in (("--crop", crop), ("--eval-crop", eval_crop)):
+        if c % 64:
+            raise SystemExit(f"{name} must be a multiple of 64, got {c}")
+
+    _lock = _tpu_lock()  # noqa: F841 — held for process lifetime
+    print(f"[rd_tpu] backend={jax.devices()[0].platform} crop={crop} bs={bs} "
+          f"k={k} budget={budget_min}min", flush=True)
+
+    from ssgvc_tpu.data.dataset import SyntheticClipDataset
+    from ssgvc_tpu.training.evaluate import bd_psnr, bd_rate, latent_liveness
+
+    # pinned held-out sets: SAME seeds/crops as rd_full.py, so scores and
+    # curves are directly comparable with the committed CPU-marathon harvest
+    n_eval = arg("--eval-clips", 6, int)
+    eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
+                                   crop_size=eval_crop,
+                                   seed=777, texture="smooth")
+    eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
+                  for i in range(n_eval)]
+    gate_ds = SyntheticClipDataset(num_clips=4, seq_len=2, crop_size=crop,
+                                   seed=555, texture="smooth")
+    gate_clips = [gate_ds.__getitem__(i, rng=np.random.default_rng(600 + i))
+                  for i in range(2)]
+
+    total_s = budget_min * 60.0
+    results = {"runner": "rd_tpu", "budget_min": budget_min, "k": k,
+               "crop": crop, "batch": bs, "profile": rd_full.PROFILE,
+               "backend": jax.devices()[0].platform, "variants": {}}
+
+    def _save():
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/rd_tpu.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    # ~35 intra steps/s at bs32/64px measured on the chip: 8000 steps ~ 4
+    # min. The 2000-step floor of the CPU recipe leaves the intra anchor at
+    # ~26 dB when the budget would buy more — and the I-frame anchors every
+    # GOP eval.
+    _, params_i = pretrain_dmci_tpu(arg("--dmci-steps", 8000, int), k, bs,
+                                    crop, total_s * 0.15, lnorm)
+
+    for variant in ("performance", "plain"):
+        trainer, out, ok = train_variant_tpu(
+            variant, steps, k, bs, crop, seq_len, total_s * 0.425,
+            eval_clips, gate_clips, eval_every=arg("--eval-every", 2000, int),
+            params_i=params_i, lnorm=lnorm)
+        if not ok:
+            results["variants"][variant] = {"gate": "aborted_collapse"}
+            _save()
+            continue
+        best = out["best"]
+        results["variants"][variant] = {
+            "estimated_rd": best["curve"], "best_step": best["step"],
+            "score": best["score"],
+            "liveness": latent_liveness(
+                trainer.dmc, best["params_p"], eval_clips[0], eval_clips[1]),
+        }
+        bpps = best["curve"]["bpp"]
+        results["variants"][variant]["bpp_monotone_increasing_in_qp"] = all(
+            bpps[j] < bpps[j + 1] for j in range(len(bpps) - 1))
+        _save()
+
+    done = {v for v, c in results["variants"].items() if "estimated_rd" in c}
+    if {"performance", "plain"} <= done:
+        perf = results["variants"]["performance"]["estimated_rd"]
+        plain = results["variants"]["plain"]["estimated_rd"]
+        results["bd_rate_roi_psnr_pct"] = bd_rate(
+            plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+        results["bd_psnr_roi_db"] = bd_psnr(
+            plain["bpp"], plain["roi_psnr"], perf["bpp"], perf["roi_psnr"])
+        results["bd_rate_psnr_pct"] = bd_rate(
+            plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+        results["bd_psnr_db"] = bd_psnr(
+            plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
+        _save()
+    print("wrote artifacts/rd_tpu.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

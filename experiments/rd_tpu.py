@@ -197,39 +197,34 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
         return rd_sweep(eval_qp, qps=EVAL_QPS)
 
     t0 = time.perf_counter()
-    # Gate-failure retries: at mega-step speed a 1000-step probe costs ~1
-    # min (the jitted mega is cached in-process), so a collapsed fresh init
-    # — the mean-image attractor is a seed lottery, docs/
-    # FROM_SCRATCH_TRAINING.md — is answered by re-rolling the init instead
-    # of abandoning the variant (what the CPU marathon effectively did
-    # across cycles).
-    max_attempts = 6
-    state = None
-    for attempt in range(max_attempts):
-        s = seed + 1000 * attempt
-        batch0 = synth_batch(jax.random.PRNGKey(s + 2), batch=batch,
+    # Resume semantics match rd_full.train_variant: a prior run's periodic
+    # checkpoint (params only; optimizer restarts, the cosine schedule
+    # tolerates it) continues instead of re-rolling the init lottery.
+    path = rd_full.ckpt_path(variant)
+    if os.path.isdir(path):
+        from ssgvc_tpu.utils.checkpoint import restore_checkpoint
+        ck = restore_checkpoint(path)
+        print(f"[{variant}] resuming params from {path}", flush=True)
+        batch0 = synth_batch(jax.random.PRNGKey(seed + 2), batch=batch,
                              size=size, seq_len=seq_len)
-        state = trainer.init_state(jax.random.PRNGKey(s), batch0,
-                                   params_i=params_i)
-        rng = jax.random.PRNGKey(s + 1)
+        # prefer the freshly pretrained DMCI anchor (params_i arg) over the
+        # checkpoint's: the I-frame anchors every GOP eval, and a longer
+        # pretrain only raises the ceiling the P-model sees
+        state = trainer.init_state(jax.random.PRNGKey(seed), batch0,
+                                   params_i=(params_i if params_i is not None
+                                             else ck["params_i"]),
+                                   params_p=ck["params_p"])
+        rng = jax.random.PRNGKey(seed + 1)
         i = 0
-        while i < GATE_STEP and time.perf_counter() - t0 < budget_s:
-            rng, sub = jax.random.split(rng)
-            state, (loss, bpp, psnr) = mega(state, sub)
-            i += k
-        ok, _ = liveness_gate(trainer, jax.device_get(state),
-                              gate_clips[0], gate_clips[1], variant,
-                              i + 100000 * attempt)
-        if ok:
-            break
-        print(f"[gate][{variant}] attempt {attempt}: collapsed at step {i} "
-              f"— re-rolling init", flush=True)
     else:
-        print(f"[gate][{variant}] all {max_attempts} inits collapsed",
-              flush=True)
-        return trainer, None, False
-    gate_pending = False
+        res = _fresh_init_with_gate(
+            trainer, mega, gate_clips, variant, k, batch, size, seq_len,
+            budget_s, t0, seed, params_i)
+        if res is None:
+            return trainer, None, False
+        state, rng, i = res
     best = {"score": -1e9, "params_p": None, "step": 0, "curve": None}
+    last_save = t0
     while i < steps and time.perf_counter() - t0 < budget_s:
         rng, sub = jax.random.split(rng)
         state, (loss, bpp, psnr) = mega(state, sub)
@@ -250,7 +245,14 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
                   f"psnr={[round(p, 2) for p in curve['psnr']]} "
                   f"roi={[round(p, 2) for p in curve['roi_psnr']]}{marker}",
                   flush=True)
-    del gate_pending
+        # periodic checkpoint of the BEST params so far: an interrupted run
+        # loses <=10 min and later runs resume from a known-good point
+        if best["params_p"] is not None \
+                and time.perf_counter() - last_save > 600.0:
+            st = jax.device_get(state)
+            save_checkpoint(path, {"params_p": best["params_p"],
+                                   "params_i": st.params_i})
+            last_save = time.perf_counter()
     # final eval; keep whichever of (final, best-so-far) scores higher
     curve = eval_curve(state)
     s = score_of(curve)
@@ -260,9 +262,42 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
     print(f"[{variant}] done: {i} steps in {time.perf_counter() - t0:.0f}s; "
           f"best score {best['score']:.3f} @ step {best['step']}", flush=True)
     st = jax.device_get(state)
-    save_checkpoint(rd_full.ckpt_path(variant),
+    save_checkpoint(path,
                     {"params_p": best["params_p"], "params_i": st.params_i})
     return trainer, {"state": st, "best": best}, True
+
+
+def _fresh_init_with_gate(trainer, mega, gate_clips, variant, k, batch, size,
+                          seq_len, budget_s, t0, seed, params_i):
+    """Gate-failure retries: at mega-step speed a 1000-step probe costs ~1
+    min (the jitted mega is cached in-process), so a collapsed fresh init
+    — the mean-image attractor is a seed lottery, docs/
+    FROM_SCRATCH_TRAINING.md — is answered by re-rolling the init instead
+    of abandoning the variant (what the CPU marathon effectively did
+    across cycles). Returns (state, rng, i) or None if every init collapsed."""
+    max_attempts = 6
+    state = None
+    for attempt in range(max_attempts):
+        s = seed + 1000 * attempt
+        batch0 = synth_batch(jax.random.PRNGKey(s + 2), batch=batch,
+                             size=size, seq_len=seq_len)
+        state = trainer.init_state(jax.random.PRNGKey(s), batch0,
+                                   params_i=params_i)
+        rng = jax.random.PRNGKey(s + 1)
+        i = 0
+        while i < GATE_STEP and time.perf_counter() - t0 < budget_s:
+            rng, sub = jax.random.split(rng)
+            state, (loss, bpp, psnr) = mega(state, sub)
+            i += k
+        ok, _ = liveness_gate(trainer, jax.device_get(state),
+                              gate_clips[0], gate_clips[1], variant,
+                              i + 100000 * attempt)
+        if ok:
+            return state, rng, i
+        print(f"[gate][{variant}] attempt {attempt}: collapsed at step {i} "
+              f"— re-rolling init", flush=True)
+    print(f"[gate][{variant}] all {max_attempts} inits collapsed", flush=True)
+    return None
 
 
 def main():
@@ -279,6 +314,12 @@ def main():
     steps = arg("--steps", 60000, int)
     seq_len = 4
     lnorm = "--lnorm" in argv
+    # recon_residual (copy-prev warm start) — the committed marathon recipe
+    # (scripts/rd_fresh_marathon.sh: --lnorm --recon-skip). Without it a
+    # fresh init is a seed lottery against the mean-image attractor
+    # (docs/FROM_SCRATCH_TRAINING.md); the first TPU smoke run collapsed
+    # 6/6 plain inits at the 1000-step gate at bs=32.
+    rd_full.RECON_SKIP = "--recon-skip" in argv
     profile = "tiny" if ("--profile" in argv
                          and argv[argv.index("--profile") + 1] == "tiny") \
         else "tiny"  # tiny is the only profile with committed comparables

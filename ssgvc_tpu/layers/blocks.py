@@ -172,6 +172,25 @@ def _pallas_dcb_wanted(x, out_ch: int) -> bool:
             and w % 16 == 0 and h >= 2)
 
 
+def _pallas_chain_wanted(x, out_ch: int, length: int) -> bool:
+    """Runtime gate for the CHAINED Pallas DepthConvBlock kernel
+    (ops/pallas_dcb_chain.py): SSGVC_PALLAS_DCB=2 runs adaptor-free DCB
+    chains as one pallas_call each and leaves every other block on the XLA
+    path (so neighbor fusion survives at the remaining boundaries). Shape
+    conditions as the single-block gate, plus a feasible VMEM tile plan."""
+    if _os.environ.get("SSGVC_PALLAS_DCB", "0") != "2":
+        return False
+    if not isinstance(x, jnp.ndarray) or x.ndim != 4:
+        return False
+    b, h, w, c_in = x.shape
+    if not (b == 1 and c_in == out_ch and out_ch % 128 == 0
+            and w % 16 == 0 and h >= 2):
+        return False
+    from ..ops.pallas_dcb_chain import _plan_segments
+
+    return bool(_plan_segments(h, w, c_in, length, x.dtype.itemsize))
+
+
 class DepthConvBlock(nn.Module):
     """Depthwise-conv residual block + gated FFN (src/layers/layers.py:43-79).
 
@@ -192,8 +211,27 @@ class DepthConvBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, quant_step: Optional[jnp.ndarray] = None
+        self, x, quant_step: Optional[jnp.ndarray] = None,
+        return_params: bool = False,
     ) -> jnp.ndarray:
+        if return_params:
+            # declare this block's params (same names/shapes as both other
+            # branches — checkpoints stay interchangeable) and hand them to
+            # the caller, which fuses several sibling blocks into ONE
+            # chained Pallas kernel (ops/pallas_dcb_chain.py). Only valid
+            # for adaptor-free blocks: a chain caller feeds each block the
+            # previous block's out_ch-wide output directly.
+            assert not (self.patch_in or self.force_adaptor
+                        or self.shortcut), \
+                "chain fusion requires adaptor-free, shortcut-free blocks"
+            c = self.out_ch
+            k0, b0 = _ConvParams((1, 1, c, c), name="dc_0")()
+            k2, b2 = _ConvParams((3, 3, 1, c), name="dc_2")()
+            k3, b3 = _ConvParams((1, 1, c, c), zero_init=True, name="dc_3")()
+            kf0, bf0 = _ConvParams((1, 1, c, 4 * c), name="ffn_0")()
+            kf2, bf2 = _ConvParams((1, 1, 2 * c, c), zero_init=True,
+                                   name="ffn_2")()
+            return (k0, b0, k2, b2, k3, b3, kf0, bf0, kf2, bf2)
         if isinstance(x, (tuple, list)):
             # tuple input == implicit concat; an adaptor exists exactly when
             # it would for the concatenated tensor (param-layout parity with

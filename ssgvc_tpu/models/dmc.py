@@ -39,13 +39,29 @@ from ..layers.blocks import (
     ResidualBlockUpsample,
     ResidualBlockWithStride2,
     SubpelConv2x,
+    _pallas_chain_wanted,
     conv,
     wsilu,
 )
+from ..ops.pallas_dcb_chain import dcb_chain_fused
 from ..layers.quant import noise_quant, ste_round
 from .common import (bpp_from_bits, compress_prior_2x, pad_for_y,
                      qp_gain_ramp_init)
 from .entropy import BitEstimator, gaussian_bits, gaussian_bits_cdf
+
+
+def _dcb_pair(f, names, ch, dtype):
+    """Run consecutive adaptor-free DCBs, as ONE chained Pallas kernel when
+    SSGVC_PALLAS_DCB=2 and the shapes qualify, else as the XLA composition.
+    Param tree is identical either way (DepthConvBlock(return_params=True)
+    declares the same names), so the flag stays runtime-only."""
+    if _pallas_chain_wanted(f, ch, len(names)):
+        blocks = [DepthConvBlock(ch, name=nm, dtype=dtype)(
+            None, return_params=True) for nm in names]
+        return dcb_chain_fused(f, blocks)
+    for nm in names:
+        f = DepthConvBlock(ch, name=nm, dtype=dtype)(f)
+    return f
 
 
 class FeatureExtractor(nn.Module):
@@ -65,10 +81,20 @@ class FeatureExtractor(nn.Module):
         self.conv2_3 = DepthConvBlock(d, dtype=self.dtype)
 
     def part1(self, x, quant):
-        x1 = self.conv1_1(self.conv1_0(x))
+        if _pallas_chain_wanted(x, self.cfg.ch_d, 2):
+            blocks = [m(None, return_params=True)
+                      for m in (self.conv1_0, self.conv1_1)]
+            x1 = dcb_chain_fused(x, blocks)
+        else:
+            x1 = self.conv1_1(self.conv1_0(x))
         return x1, x1 * quant
 
     def part2(self, x1):
+        if _pallas_chain_wanted(x1, self.cfg.ch_d, 4):
+            blocks = [m(None, return_params=True)
+                      for m in (self.conv2_0, self.conv2_1,
+                                self.conv2_2, self.conv2_3)]
+            return dcb_chain_fused(x1, blocks)
         return self.conv2_3(self.conv2_2(self.conv2_1(self.conv2_0(x1))))
 
     def __call__(self, x, quant):
@@ -95,15 +121,19 @@ class Encoder(nn.Module):
             f = PatchDownConv(c.ch_d, c.patch_size, name="conv1",
                               dtype=self.dtype)(x)
         # (f, ctx) tuple: implicit concat through the first block's adaptor
-        if c.legacy_old:
-            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)((f, ctx))
-            f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
-            f = DepthConvBlock(c.ch_d, name="conv3", dtype=self.dtype)(f)
+        f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)((f, ctx))
+        names = ("conv2_1", "conv3" if c.legacy_old else "conv2_2")
+        if _pallas_chain_wanted(f, c.ch_d, len(names)):
+            # chain the adaptor-free tail (conv2_0 keeps the XLA path so its
+            # Concat1x1 adaptor fuses with neighbors); the trailing
+            # f*quant_step folds into the last block's q
+            blocks = [DepthConvBlock(c.ch_d, name=nm, dtype=self.dtype)(
+                None, return_params=True) for nm in names]
+            f = dcb_chain_fused(f, blocks, q_last=quant_step)
         else:
-            f = DepthConvBlock(c.ch_d, name="conv2_0", dtype=self.dtype)((f, ctx))
-            f = DepthConvBlock(c.ch_d, name="conv2_1", dtype=self.dtype)(f)
-            f = DepthConvBlock(c.ch_d, name="conv2_2", dtype=self.dtype)(f)
-        f = f * quant_step
+            for nm in names:
+                f = DepthConvBlock(c.ch_d, name=nm, dtype=self.dtype)(f)
+            f = f * quant_step
         return conv(c.ch_y, 3, stride=2, padding=1, name="down", dtype=self.dtype)(f)
 
 
@@ -124,16 +154,14 @@ class Decoder(nn.Module):
         f = SubpelConv2x(c.ch_d, 3, padding=1, name="up", dtype=self.dtype)(x)
         if c.legacy_old:
             f = DepthConvBlock(c.ch_d, name="conv1_0", dtype=self.dtype)((f, ctx))
-            f = DepthConvBlock(c.ch_d, name="conv1_1", dtype=self.dtype)(f)
-            f = DepthConvBlock(c.ch_d, name="conv1_2", dtype=self.dtype)(f)
+            f = _dcb_pair(f, ("conv1_1", "conv1_2"), c.ch_d, self.dtype)
             f = conv(c.ch_d, 1, name="conv2", dtype=self.dtype,
                      zero_init=c.recon_residual)(f)
             f = f * quant_step
             return f + ctx if c.recon_residual else f
         f = f * quant_step
         f = DepthConvBlock(c.ch_d, name="conv_0", dtype=self.dtype)((f, ctx))
-        f = DepthConvBlock(c.ch_d, name="conv_1", dtype=self.dtype)(f)
-        f = DepthConvBlock(c.ch_d, name="conv_2", dtype=self.dtype)(f)
+        f = _dcb_pair(f, ("conv_1", "conv_2"), c.ch_d, self.dtype)
         f = conv(c.ch_d, 1, name="proj", dtype=self.dtype,
                  zero_init=c.recon_residual)(f)
         return f + ctx if c.recon_residual else f
@@ -211,9 +239,16 @@ class PriorFusion(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.cfg.ch_y * 3
-        x = DepthConvBlock(w, name="conv_0", dtype=self.dtype)(x)
-        x = DepthConvBlock(w, name="conv_1", dtype=self.dtype)(x)
-        x = DepthConvBlock(w, name="conv_2", dtype=self.dtype)(x)
+        # (hierarchical, temporal) widths sum to w -> conv_0 has no adaptor
+        # (implicit plain concat): the whole 3-block stack is chain-eligible
+        if isinstance(x, (tuple, list)) \
+                and sum(t.shape[-1] for t in x) == w:
+            x = jnp.concatenate(x, axis=-1)
+        if isinstance(x, jnp.ndarray):
+            x = _dcb_pair(x, ("conv_0", "conv_1", "conv_2"), w, self.dtype)
+        else:  # adaptor case: conv_0 absorbs the tuple, rest chain-eligible
+            x = DepthConvBlock(w, name="conv_0", dtype=self.dtype)(x)
+            x = _dcb_pair(x, ("conv_1", "conv_2"), w, self.dtype)
         return conv(w, 1, name="conv_3", dtype=self.dtype)(x)
 
 

@@ -132,24 +132,44 @@ def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
         print(f"[dmci] reused pretrained params from "
               f"{rd_full.dmci_ckpt_path()}", flush=True)
         return model, ck["params_i"]
-    rng = jax.random.PRNGKey(seed)
-    x0 = synth_batch(rng, batch=batch, size=size, seq_len=1)["frames"][:, 0]
-    params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
-                        train=False)["params"]
-    params = calibrate_dmci(model, params, x0)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
-    opt_state = tx.init(params)
     mega = make_dmci_megastep(model, tx, k, batch, size, lnorm)
 
     t0 = time.perf_counter()
-    i = 0
+    # The intra model has its own init lottery (no copy-prev warm start
+    # exists for an I-model): one long-run landed flat at 5.8 dB for 20k
+    # steps while the healthy case clears 20 dB within 1k. Probe each init
+    # for ~1k steps and re-roll below 12 dB.
+    probe = max(k, 1000 // k * k)
+    for attempt in range(6):
+        rng = jax.random.PRNGKey(seed + 1000 * attempt)
+        x0 = synth_batch(rng, batch=batch, size=size,
+                         seq_len=1)["frames"][:, 0]
+        params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
+                            train=False)["params"]
+        params = calibrate_dmci(model, params, x0)
+        opt_state = tx.init(params)
+        i = 0
+        mse = None
+        while i < probe and time.perf_counter() - t0 < budget_s:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, mse, bpp = mega(params, opt_state, sub)
+            i += k
+        p = float(psnr_from_mse(mse)) if mse is not None else 0.0
+        if p > 12.0:
+            print(f"[dmci] init attempt {attempt}: alive "
+                  f"({p:.2f} dB @ step {i})", flush=True)
+            break
+        print(f"[dmci] init attempt {attempt}: collapsed "
+              f"({p:.2f} dB @ step {i}) — re-rolling", flush=True)
     while i < steps and time.perf_counter() - t0 < budget_s:
         rng, sub = jax.random.split(rng)
         params, opt_state, mse, bpp = mega(params, opt_state, sub)
         i += k
-        print(f"[dmci] step {i}: psnr {float(psnr_from_mse(mse)):.2f} "
-              f"bpp {float(bpp):.4f} ({time.perf_counter() - t0:.0f}s)",
-              flush=True)
+        if i % 1000 < k:
+            print(f"[dmci] step {i}: psnr {float(psnr_from_mse(mse)):.2f} "
+                  f"bpp {float(bpp):.4f} ({time.perf_counter() - t0:.0f}s)",
+                  flush=True)
     params = jax.device_get(params)
     os.makedirs("artifacts", exist_ok=True)
     save_checkpoint(rd_full.dmci_ckpt_path(), {"params_i": params})

@@ -132,7 +132,10 @@ def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
         print(f"[dmci] reused pretrained params from "
               f"{rd_full.dmci_ckpt_path()}", flush=True)
         return model, ck["params_i"]
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    # cosine-decayed LR: a flat 1e-3 at bs=32 diverged catastrophically at
+    # ~9.5k steps (26.6 dB -> 5.8 dB black-output collapse, 2026-08-19 run)
+    sched = optax.cosine_decay_schedule(1e-3, max(steps, 1), alpha=0.05)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(sched))
     mega = make_dmci_megastep(model, tx, k, batch, size, lnorm)
 
     t0 = time.perf_counter()
@@ -162,15 +165,26 @@ def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
             break
         print(f"[dmci] init attempt {attempt}: collapsed "
               f"({p:.2f} dB @ step {i}) — re-rolling", flush=True)
+    # keep-best + divergence stop: even a probe-alive run can explode later
+    # (26.6 dB -> black output between steps 9k and 10k); the anchor only
+    # needs to be good, not last-step
+    best_psnr, best_params = -1.0, jax.device_get(params)
     while i < steps and time.perf_counter() - t0 < budget_s:
         rng, sub = jax.random.split(rng)
         params, opt_state, mse, bpp = mega(params, opt_state, sub)
         i += k
+        p = float(psnr_from_mse(mse))
+        if p > best_psnr:
+            best_psnr, best_params = p, jax.device_get(params)
         if i % 1000 < k:
-            print(f"[dmci] step {i}: psnr {float(psnr_from_mse(mse)):.2f} "
+            print(f"[dmci] step {i}: psnr {p:.2f} "
                   f"bpp {float(bpp):.4f} ({time.perf_counter() - t0:.0f}s)",
                   flush=True)
-    params = jax.device_get(params)
+        if p < best_psnr - 6.0:
+            print(f"[dmci] DIVERGED at step {i} ({p:.2f} dB, best "
+                  f"{best_psnr:.2f}) — keeping best params", flush=True)
+            break
+    params = best_params
     os.makedirs("artifacts", exist_ok=True)
     save_checkpoint(rd_full.dmci_ckpt_path(), {"params_i": params})
     print(f"[dmci] {i} steps in {time.perf_counter() - t0:.0f}s; saved to "
@@ -245,10 +259,29 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
         state, rng, i = res
     best = {"score": -1e9, "params_p": None, "step": 0, "curve": None}
     last_save = t0
+    train_best = -1.0
     while i < steps and time.perf_counter() - t0 < budget_s:
         rng, sub = jax.random.split(rng)
         state, (loss, bpp, psnr) = mega(state, sub)
         i += k
+        p = float(psnr)
+        train_best = max(train_best, p)
+        if not np.isfinite(p) or p < train_best - 8.0:
+            # catastrophic divergence (same failure mode as the DMCI
+            # pretrain explosion): restart from the best eval params if any,
+            # else from scratch opt state on current params
+            src = best["params_p"] if best["params_p"] is not None else \
+                jax.device_get(state.params_p)
+            print(f"[{variant}] DIVERGED at step {i} ({p:.2f} dB, train "
+                  f"best {train_best:.2f}) — restoring "
+                  f"{'best-eval' if best['params_p'] is not None else 'last'}"
+                  f" params", flush=True)
+            batch0 = synth_batch(jax.random.PRNGKey(seed + 7), batch=batch,
+                                 size=size, seq_len=seq_len)
+            state = trainer.init_state(jax.random.PRNGKey(seed + 8), batch0,
+                                       params_i=params_i, params_p=src)
+            train_best = -1.0
+            continue
         if i % 500 < k:
             print(f"[{variant}] step {i}: loss {float(loss):.3f} "
                   f"bpp {float(bpp):.4f} psnr {float(psnr):.2f} "

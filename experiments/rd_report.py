@@ -207,6 +207,12 @@ def main():
                         "harvest; live rd_continued.json was mid-cycle)")
     latest = cont if (cont and cont.get("variants")) else full
     src = cont_src if latest is cont else "artifacts/rd_full.json"
+    # the TPU mega-step runner (experiments/rd_tpu.py) outranks every CPU
+    # marathon artifact when its curve is complete: same pinned eval set,
+    # orders of magnitude more training steps
+    tpu_run = _load("artifacts/rd_tpu.json")
+    if _complete(tpu_run):
+        latest, src = tpu_run, "artifacts/rd_tpu.json"
     if latest and latest.get("variants"):
         qps = [8, 20, 32, 44, 56]
         recipe = []
@@ -216,10 +222,15 @@ def main():
         if (latest.get("recon_residual") or (full or {}).get(
                 "recon_residual")):
             recipe.append("recon_residual (copy-prev init)")
+        trained_on = (
+            "ON the TPU chip (on-device synth batches, scanned mega-steps, "
+            f"bs={latest.get('batch')}, ~150 GOP-steps/s)"
+            if latest.get("runner") == "rd_tpu"
+            else "on the 1-CPU-core host")
         out += [f"## RD curves (latest: `{src}`)", "",
                 "Synthetic smooth-texture driving clips, rd-tiny profile"
                 + (", " + ", ".join(recipe) if recipe else "")
-                + ", trained on the 1-CPU-core host. 192px eval clips.",
+                + f", trained {trained_on}. 192px eval clips.",
                 ""]
         try:
             if plot_rd_curves(latest,

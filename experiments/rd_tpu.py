@@ -373,12 +373,17 @@ def main():
     # (docs/FROM_SCRATCH_TRAINING.md); the first TPU smoke run collapsed
     # 6/6 plain inits at the 1000-step gate at bs=32.
     rd_full.RECON_SKIP = "--recon-skip" in argv
-    profile = "tiny" if ("--profile" in argv
-                         and argv[argv.index("--profile") + 1] == "tiny") \
-        else "tiny"  # tiny is the only profile with committed comparables
+    # tiny = the profile with committed CPU-marathon comparables;
+    # mid = rd-mid (4x the FLOPs) — the tiny profile's eval ceiling
+    # (~22.6 dB at 192px, QP spread <1 dB) is capacity-limited, and only
+    # the TPU runner trains mid fast enough to matter
+    profile = (argv[argv.index("--profile") + 1]
+               if "--profile" in argv else "tiny")
     if profile == "tiny":
         rd_full.MID_DMC, rd_full.MID_DMCI = rd_full.TINY_DMC, rd_full.TINY_DMCI
         rd_full.PROFILE = "tiny"
+    elif profile != "mid":
+        raise SystemExit(f"--profile must be tiny or mid, got {profile}")
     rd_full.LNORM = lnorm
     # TPU sizing: at tiny-profile shapes the step is LATENCY-bound (hundreds
     # of small ops per GOP step), so batch is nearly free on the chip — keep
@@ -417,6 +422,9 @@ def main():
     total_s = budget_min * 60.0
     results = {"runner": "rd_tpu", "budget_min": budget_min, "k": k,
                "crop": crop, "batch": bs, "profile": rd_full.PROFILE,
+               "eval_crop": eval_crop, "steps_schedule": steps,
+               "lambda_normalize": lnorm,
+               "recon_residual": rd_full.RECON_SKIP,
                "backend": jax.devices()[0].platform, "variants": {}}
 
     def _save():

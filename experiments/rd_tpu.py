@@ -126,45 +126,61 @@ def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
     from ssgvc_tpu.utils.checkpoint import save_checkpoint
 
     model = DMCI(DMCIConfig(**rd_full.MID_DMCI))
-    if "--reuse-dmci" in sys.argv and os.path.isdir(rd_full.dmci_ckpt_path()):
+    resume_params = None
+    if os.path.isdir(rd_full.dmci_ckpt_path()):
         from ssgvc_tpu.utils.checkpoint import restore_checkpoint
         ck = restore_checkpoint(rd_full.dmci_ckpt_path())
-        print(f"[dmci] reused pretrained params from "
-              f"{rd_full.dmci_ckpt_path()}", flush=True)
-        return model, ck["params_i"]
+        if "--reuse-dmci" in sys.argv:
+            print(f"[dmci] reused pretrained params from "
+                  f"{rd_full.dmci_ckpt_path()}", flush=True)
+            return model, ck["params_i"]
+        # resume-and-continue: skip the init lottery, train further from the
+        # saved anchor (crop changes are fine — the model is fully conv)
+        resume_params = ck["params_i"]
+        print(f"[dmci] resuming pretrain from {rd_full.dmci_ckpt_path()}",
+              flush=True)
     # cosine-decayed LR: a flat 1e-3 at bs=32 diverged catastrophically at
     # ~9.5k steps (26.6 dB -> 5.8 dB black-output collapse, 2026-08-19 run)
-    sched = optax.cosine_decay_schedule(1e-3, max(steps, 1), alpha=0.05)
+    peak_lr = 1e-3
+    if "--dmci-lr" in sys.argv:
+        peak_lr = float(sys.argv[sys.argv.index("--dmci-lr") + 1])
+    sched = optax.cosine_decay_schedule(peak_lr, max(steps, 1), alpha=0.05)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(sched))
     mega = make_dmci_megastep(model, tx, k, batch, size, lnorm)
 
     t0 = time.perf_counter()
-    # The intra model has its own init lottery (no copy-prev warm start
-    # exists for an I-model): one long-run landed flat at 5.8 dB for 20k
-    # steps while the healthy case clears 20 dB within 1k. Probe each init
-    # for ~1k steps and re-roll below 12 dB.
-    probe = max(k, 1000 // k * k)
-    for attempt in range(6):
-        rng = jax.random.PRNGKey(seed + 1000 * attempt)
-        x0 = synth_batch(rng, batch=batch, size=size,
-                         seq_len=1)["frames"][:, 0]
-        params = model.init({"params": rng, "noise": rng}, x0, jnp.int32(0),
-                            train=False)["params"]
-        params = calibrate_dmci(model, params, x0)
+    if resume_params is not None:
+        rng = jax.random.PRNGKey(seed + 31)
+        params = resume_params
         opt_state = tx.init(params)
         i = 0
-        mse = None
-        while i < probe and time.perf_counter() - t0 < budget_s:
-            rng, sub = jax.random.split(rng)
-            params, opt_state, mse, bpp = mega(params, opt_state, sub)
-            i += k
-        p = float(psnr_from_mse(mse)) if mse is not None else 0.0
-        if p > 12.0:
-            print(f"[dmci] init attempt {attempt}: alive "
-                  f"({p:.2f} dB @ step {i})", flush=True)
-            break
-        print(f"[dmci] init attempt {attempt}: collapsed "
-              f"({p:.2f} dB @ step {i}) — re-rolling", flush=True)
+    else:
+        # The intra model has its own init lottery (no copy-prev warm start
+        # exists for an I-model): one long-run landed flat at 5.8 dB for 20k
+        # steps while the healthy case clears 20 dB within 1k. Probe each
+        # init for ~1k steps and re-roll below 12 dB.
+        probe = max(k, 1000 // k * k)
+        for attempt in range(6):
+            rng = jax.random.PRNGKey(seed + 1000 * attempt)
+            x0 = synth_batch(rng, batch=batch, size=size,
+                             seq_len=1)["frames"][:, 0]
+            params = model.init({"params": rng, "noise": rng}, x0,
+                                jnp.int32(0), train=False)["params"]
+            params = calibrate_dmci(model, params, x0)
+            opt_state = tx.init(params)
+            i = 0
+            mse = None
+            while i < probe and time.perf_counter() - t0 < budget_s:
+                rng, sub = jax.random.split(rng)
+                params, opt_state, mse, bpp = mega(params, opt_state, sub)
+                i += k
+            p = float(psnr_from_mse(mse)) if mse is not None else 0.0
+            if p > 12.0:
+                print(f"[dmci] init attempt {attempt}: alive "
+                      f"({p:.2f} dB @ step {i})", flush=True)
+                break
+            print(f"[dmci] init attempt {attempt}: collapsed "
+                  f"({p:.2f} dB @ step {i}) — re-rolling", flush=True)
     # keep-best + divergence stop: even a probe-alive run can explode later
     # (26.6 dB -> black output between steps 9k and 10k); the anchor only
     # needs to be good, not last-step
@@ -195,18 +211,20 @@ def pretrain_dmci_tpu(steps: int, k: int, batch: int, size: int,
 def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
                       size: int, seq_len: int, budget_s: float,
                       eval_clips, gate_clips, eval_every: int,
-                      params_i, lnorm: bool, seed: int = 0):
+                      params_i, lnorm: bool, seed: int = 0,
+                      base_lr: float = 7e-4):
     """Train one DMC variant with mega-steps; keep the best params by held-out
     eval score (rd_keep_best semantics, but within the run: every eval that
     improves the score snapshots params to host memory)."""
     from ssgvc_tpu.config import DMCConfig, DMCIConfig, TrainConfig
-    from ssgvc_tpu.training.evaluate import evaluate_gop_estimated, rd_sweep
+    from ssgvc_tpu.training.evaluate import (evaluate_rd_batched,
+                                             make_batched_gop_eval)
     from ssgvc_tpu.training.trainer import Trainer
     from ssgvc_tpu.utils.checkpoint import save_checkpoint
 
     cfg = TrainConfig(dmc_variant=variant, accumulation_steps=1)
     cfg.precision = "fp32"
-    cfg.optimizer.base_lr = 7e-4
+    cfg.optimizer.base_lr = base_lr
     cfg.optimizer.min_lr = 5e-5
     cfg.roi_weight = 100.0
     cfg.lambda_normalize = lnorm
@@ -219,16 +237,17 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
     index_map = list(cfg.compression.index_map)
     qp_shift = list(trainer.dmc_cfg.qp_shift)
 
-    def eval_curve(st):
-        def eval_qp(qp):
-            out = []
-            for frames, masks in eval_clips:
-                out.extend(evaluate_gop_estimated(
-                    trainer.dmci, st.params_i, trainer.dmc, st.params_p,
-                    frames, masks, qp, index_map, qp_shift))
-            return out
+    # ONE jitted call per QP per eval (24 tunnel round-trips per clip/QP
+    # before): in-run evals skip MS-SSIM (score_of is PSNR+ROI), only the
+    # final artifact curve computes it
+    run_eval = make_batched_gop_eval(trainer.dmci, trainer.dmc, index_map,
+                                     qp_shift,
+                                     seq_len=len(eval_clips[0][0]))
 
-        return rd_sweep(eval_qp, qps=EVAL_QPS)
+    def eval_curve(st, msssim=False):
+        return evaluate_rd_batched(run_eval, st.params_i, st.params_p,
+                                   eval_clips, qps=EVAL_QPS,
+                                   compute_msssim=msssim)
 
     t0 = time.perf_counter()
     # Resume semantics match rd_full.train_variant: a prior run's periodic
@@ -312,6 +331,11 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
     if s > best["score"]:
         best = {"score": s, "params_p": jax.device_get(state.params_p),
                 "step": i, "curve": curve}
+    # artifact curve from the BEST params, now with MS-SSIM (in-run evals
+    # skipped it for wall-clock; scores are PSNR/ROI-only either way)
+    from ssgvc_tpu.training.evaluate import evaluate_rd_batched as _erb
+    best["curve"] = _erb(run_eval, state.params_i, best["params_p"],
+                         eval_clips, qps=EVAL_QPS, compute_msssim=True)
     print(f"[{variant}] done: {i} steps in {time.perf_counter() - t0:.0f}s; "
           f"best score {best['score']:.3f} @ step {best['step']}", flush=True)
     st = jax.device_get(state)
@@ -439,11 +463,14 @@ def main():
     _, params_i = pretrain_dmci_tpu(arg("--dmci-steps", 8000, int), k, bs,
                                     crop, total_s * 0.15, lnorm)
 
-    for variant in ("performance", "plain"):
+    variants = (argv[argv.index("--variants") + 1].split(",")
+                if "--variants" in argv else ["performance", "plain"])
+    for variant in variants:
         trainer, out, ok = train_variant_tpu(
             variant, steps, k, bs, crop, seq_len, total_s * 0.425,
             eval_clips, gate_clips, eval_every=arg("--eval-every", 2000, int),
-            params_i=params_i, lnorm=lnorm)
+            params_i=params_i, lnorm=lnorm,
+            base_lr=arg("--base-lr", 7e-4))
         if not ok:
             results["variants"][variant] = {"gate": "aborted_collapse"}
             _save()

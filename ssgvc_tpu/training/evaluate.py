@@ -65,6 +65,95 @@ def evaluate_gop_estimated(dmci, params_i, dmc, params_p, frames, masks,
     return results
 
 
+def make_batched_gop_eval(dmci, dmc, index_map: Sequence[int],
+                          qp_shift: Sequence[int], seq_len: int):
+    """Build ONE jitted device call that evaluates a whole BATCH of GOPs at
+    one QP. :func:`evaluate_gop_estimated` dispatches un-jitted per-frame
+    ``apply`` calls — over the tunneled TPU that is 24 host round-trips per
+    (clip, QP) and dominated the rd_tpu marathon's wall clock (an eval cost
+    ~250-700 s vs ~3 s per 1000 train steps). Batching the clips and
+    unrolling the (static) GOP inside one jit brings an eval to one round
+    trip per QP.
+
+    Returns ``run(params_i, params_p, frames, masks, qp) -> (recons, bpps)``
+    with frames (B,T,H,W,3), masks (B,T,H,W,1), recons (B,T,H,W,3),
+    bpps (B,T). Metrics stay on host (identical math to the per-clip path).
+    """
+    import jax
+
+    index_map = list(index_map)
+    qp_shift = list(qp_shift)
+
+    @jax.jit
+    def run(params_i, params_p, frames, masks, qp):
+        out = dmci.apply({"params": params_i}, frames[:, 0], qp, train=False)
+        recons = [out["dpb"]["frame"]]
+        bpps = [out["bpp"]]
+        ps = dmc.cfg.patch_size
+        dpb = {"frame": out["dpb"]["frame"],
+               "feature": jnp.zeros(
+                   (frames.shape[0], frames.shape[2] // ps,
+                    frames.shape[3] // ps, dmc.cfg.ch_d), jnp.float32)}
+        for t in range(1, seq_len):
+            curr_qp = qp + qp_shift[index_map[t % len(index_map)]]
+            o = dmc.apply({"params": params_p}, frames[:, t], curr_qp, dpb,
+                          after_i=(t == 1), mask=masks[:, t], train=False)
+            recons.append(o["dpb"]["frame"])
+            bpps.append(o["bpp"])
+            dpb = o["dpb"]
+        return jnp.stack(recons, 1), jnp.stack(bpps, 1)
+
+    return run
+
+
+def evaluate_rd_batched(run_fn, params_i, params_p, clips,
+                        qps: Sequence[int],
+                        compute_msssim: bool = False) -> Dict:
+    """RD curve over ``qps`` from a :func:`make_batched_gop_eval` callable.
+
+    ``clips``: list of (frames (T,H,W,3), masks (T,H,W,1)) numpy pairs (equal
+    shapes). Aggregation matches :func:`rd_sweep` over the P-frames of every
+    clip; MS-SSIM (host scipy at ~0.5 s/frame on the 1-core host) is opt-in
+    so keep-best scoring evals (PSNR+ROI only, rd_keep_best.score_of) skip
+    it and only the final artifact curve pays for it.
+    """
+    frames = np.stack([np.asarray(c[0], np.float32) for c in clips])
+    masks = np.stack([np.asarray(c[1], np.float32) for c in clips])
+    fr_j = jnp.asarray(frames)
+    ms_j = jnp.asarray(masks)
+    curve = {"qp": [], "bpp": [], "psnr": [], "roi_psnr": [], "msssim": []}
+    for qp in qps:
+        recons, bpps = run_fn(params_i, params_p, fr_j, ms_j, jnp.int32(qp))
+        recons = np.asarray(recons, np.float32)
+        bpps = np.asarray(bpps, np.float64)
+        rows = []
+        for b in range(frames.shape[0]):
+            for t in range(1, frames.shape[1]):
+                rows.append(_frame_metrics(
+                    "P", float(bpps[b, t]), frames[b, t], recons[b, t],
+                    masks[b, t]) if compute_msssim else
+                    _frame_metrics_fast(float(bpps[b, t]), frames[b, t],
+                                        recons[b, t], masks[b, t]))
+        curve["qp"].append(int(qp))
+        curve["bpp"].append(float(np.mean([r["bpp"] for r in rows])))
+        curve["psnr"].append(float(np.mean([r["psnr"] for r in rows])))
+        curve["roi_psnr"].append(
+            float(np.mean([r["roi_psnr"] for r in rows])))
+        ms = [r["msssim"] for r in rows if r.get("msssim") is not None]
+        curve["msssim"].append(float(np.mean(ms)) if ms else None)
+    return curve
+
+
+def _frame_metrics_fast(bpp: float, ref_ycbcr, rec_ycbcr, mask) -> Dict:
+    """PSNR/ROI-PSNR only — the subset rd_keep_best.score_of consumes."""
+    ref_rgb = ycbcr2rgb_np(np.asarray(ref_ycbcr))
+    rec_rgb = ycbcr2rgb_np(np.asarray(rec_ycbcr))
+    return {"bpp": float(bpp),
+            "psnr": calc_psnr(ref_rgb, rec_rgb),
+            "roi_psnr": _roi_psnr(ref_rgb, rec_rgb, np.asarray(mask)),
+            "msssim": None}
+
+
 def latent_liveness(dmc, params_p, clip_a, clip_b,
                     qps: Sequence[int] = (8, 32, 56)) -> Dict:
     """Collapse tripwire (docs/FROM_SCRATCH_TRAINING.md): per QP, the

@@ -150,3 +150,42 @@ def test_liveness_gate_fires_on_collapsed_model():
     rep_dead = latent_liveness(model, dead, clips[0], clips[1])
     assert max(r["alive_y"] for r in rep_dead.values()) == 0.0
     assert liveness_collapsed(rep_dead)
+
+
+def test_batched_eval_matches_per_clip(models):
+    """evaluate_rd_batched must reproduce the per-clip eval path exactly
+    (same model applies, same host metric math) — it only batches the
+    device calls (rd_tpu marathon eval was 24 tunnel round-trips per
+    (clip, QP); batched is one per QP)."""
+    from ssgvc_tpu.training.evaluate import (evaluate_rd_batched,
+                                             make_batched_gop_eval)
+    dmci, pi, dmc, pp = models
+    rng = np.random.default_rng(5)
+    clips = []
+    for i in range(2):
+        frames = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+        masks = (rng.uniform(0, 1, (3, 64, 64, 1)) > 0.7).astype(np.float32)
+        clips.append((frames, masks))
+    index_map, qp_shift = [0, 1, 0, 2, 0, 2, 0, 2], [0, 8, 4]
+
+    def eval_qp(qp):
+        out = []
+        for frames, masks in clips:
+            out.extend(evaluate_gop_estimated(
+                dmci, pi, dmc, pp, frames, masks, qp, index_map, qp_shift))
+        return out
+
+    ref_curve = rd_sweep(eval_qp, qps=[8, 48])
+
+    run = make_batched_gop_eval(dmci, dmc, index_map, qp_shift, seq_len=3)
+    fast = evaluate_rd_batched(run, pi, pp, clips, qps=[8, 48])
+    full = evaluate_rd_batched(run, pi, pp, clips, qps=[8, 48],
+                               compute_msssim=True)
+    # batched and per-clip traces fuse differently in XLA: tolerance is
+    # float-noise-sized (observed max |d bpp| ~4e-6), not semantic
+    for key, atol in (("bpp", 1e-4), ("psnr", 1e-2), ("roi_psnr", 1e-2)):
+        np.testing.assert_allclose(fast[key], ref_curve[key], atol=atol,
+                                   err_msg=key)
+        np.testing.assert_allclose(full[key], ref_curve[key], atol=atol,
+                                   err_msg=key)
+    assert fast["msssim"] == [None, None]  # 64px < 88px floor anyway

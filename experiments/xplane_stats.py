@@ -99,6 +99,31 @@ def parse_line(buf):
     return name, events
 
 
+def categorize(name: str) -> str:
+    """Coarse name-based rollup of HLO thunk names.
+
+    Name-based only (a 'multiply_multiply_fusion' may well CONTAIN the
+    convolution — XLA names fusions after their root op), so 'fusion' means
+    'XLA fusion computation', not 'elementwise-only'. 'loop' is the scan/while
+    wrapper whose child ops are ALSO on the line — exclude it from rollups to
+    avoid double counting."""
+    n = name.lstrip("%")
+    if n.startswith(("while", "conditional")):
+        return "loop-wrapper"
+    if n.startswith(("copy-start", "copy-done")):
+        return "async-copy"
+    if n.startswith(("copy", "transpose", "reshape", "bitcast")):
+        return "layout-copy"
+    if n.startswith(("convolution", "dot", "cublas", "custom-call")):
+        return "conv/matmul"
+    if "fusion" in n:
+        return "fusion"
+    if n.startswith(("all-reduce", "all-gather", "collective", "reduce-scatter",
+                     "ppermute")):
+        return "collective"
+    return "other"
+
+
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -130,6 +155,19 @@ def main():
             total_ps = sum(v[0] for v in per_op.values())
             print(f"\n-- line: {lname}: {len(events)} events, "
                   f"{total_ps / 1e9:.3f} ms total")
+            cats = defaultdict(lambda: [0, 0])
+            for name, (ps, cnt) in per_op.items():
+                c = cats[categorize(name)]
+                c[0] += ps
+                c[1] += cnt
+            flat = total_ps - cats.get("loop-wrapper", [0, 0])[0]
+            if flat > 0:
+                roll = ", ".join(
+                    f"{cat} {ps / 1e9:.1f}ms ({ps / flat * 100:.0f}%)"
+                    for cat, (ps, _) in sorted(cats.items(),
+                                               key=lambda kv: -kv[1][0])
+                    if cat != "loop-wrapper")
+                print(f"   rollup (loop-wrapper excluded): {roll}")
             ranked = sorted(per_op.items(), key=lambda kv: -kv[1][0])
             for name, (ps, cnt) in ranked[:top_n]:
                 print(f"  {ps / 1e9:9.3f} ms  {ps / total_ps * 100:5.1f}%  "

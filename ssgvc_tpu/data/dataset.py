@@ -210,7 +210,8 @@ class ClipDataModule:
     randperm split (seg_waymo_dataset_lightning.py:107-140)."""
 
     def __init__(self, dataset, batch_size: int = 4,
-                 split=(0.9, 0.1, 0.0), seed: int = 42):
+                 split=(0.9, 0.1, 0.0), seed: int = 42,
+                 rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         n = len(dataset)
@@ -221,6 +222,21 @@ class ClipDataModule:
         self.val_indices = perm[n_train:n_train + n_val]
         self.test_indices = perm[n_train + n_val:]
         self.seed = seed
+        # Multi-host data parallelism (torch DistributedSampler semantics,
+        # the sampler Lightning DDP injected for the reference): each host
+        # iterates a disjoint 1/world stride of every epoch's order,
+        # wrap-padded so all hosts take equally many steps. batch_size stays
+        # the PER-HOST batch (shard_batch assembles the global array). This
+        # layer never imports jax — callers with a live backend pass
+        # rank/world (trainer_seg_video_model.py).
+        if not 0 <= rank < world:
+            raise ValueError(f"rank {rank} not in [0, {world})")
+        self.rank = rank
+        self.world = world
+
+    def steps_per_epoch(self) -> int:
+        per_host = -(-len(self.train_indices) // self.world)
+        return max(1, per_host // self.batch_size)
 
     def _iter(self, indices: np.ndarray, shuffle: bool, loop: bool,
               seed: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -230,6 +246,13 @@ class ClipDataModule:
         epoch = 0
         while True:
             order = rng.permutation(indices) if shuffle else indices
+            if self.world > 1:
+                # same seed on every host -> identical permutation -> the
+                # strided shards are disjoint; np.resize wrap-pads so each
+                # host gets exactly ceil(n/world) samples
+                per_host = -(-len(order) // self.world)
+                order = np.resize(order, per_host * self.world)[
+                    self.rank::self.world]
             if len(order) < self.batch_size:
                 # splits smaller than a batch: sample with replacement so the
                 # iterator still yields full (static-shape) batches
@@ -306,7 +329,7 @@ def _make_vimeo(dtype: str, ds_cfg, seq_len: int, crop: int):
     return None
 
 
-def make_datamodule(cfg) -> ClipDataModule:
+def make_datamodule(cfg, rank: int = 0, world: int = 1) -> ClipDataModule:
     """Unified datamodule dispatch (the reference's UnifiedVideoDataModule,
     src/dataset/datamodule.py:15-321): waymo TFRecords / vimeo septuplets /
     synthetic fallback, selected by dataset_type + what exists on disk."""
@@ -334,4 +357,5 @@ def make_datamodule(cfg) -> ClipDataModule:
             crop_size=crop)
     return ClipDataModule(dataset, batch_size=ds_cfg.batch_size,
                           split=tuple(ds_cfg.train_val_test_split),
-                          seed=getattr(cfg, "seed", 42))
+                          seed=getattr(cfg, "seed", 42),
+                          rank=rank, world=world)

@@ -140,3 +140,43 @@ def test_small_split_still_yields_batches():
     assert len(dm.val_indices) == 2  # smaller than batch_size
     batch = next(dm.val_iter(loop=True))
     assert batch["frames"].shape[0] == 4
+
+
+def test_multi_host_sampler_shards_are_disjoint_and_cover():
+    """ClipDataModule(rank, world) = torch DistributedSampler semantics:
+    same-seed hosts permute identically, stride into disjoint shards whose
+    union covers the epoch, wrap-padded to equal length (the reference's
+    Lightning DDP injected this sampler implicitly)."""
+    ds = SyntheticClipDataset(num_clips=11, seq_len=2, crop_size=32)
+    world = 3
+    dms = [ClipDataModule(ds, batch_size=1, split=(1.0, 0.0, 0.0), seed=7,
+                          rank=r, world=world) for r in range(world)]
+    # reproduce each host's first-epoch order via the same derivation
+    per_epoch = []
+    for dm in dms:
+        rng = np.random.default_rng(dm.seed)
+        order = rng.permutation(dm.train_indices)
+        per_host = -(-len(order) // world)
+        per_epoch.append(np.resize(order, per_host * world)[dm.rank::world])
+    lens = {len(o) for o in per_epoch}
+    assert lens == {4}  # ceil(11/3), wrap-padded
+    union = np.concatenate(per_epoch)
+    assert set(union.tolist()) == set(dms[0].train_indices.tolist())
+    # disjoint up to the wrap-pad: only ONE duplicated sample total
+    assert len(union) - len(set(union.tolist())) == 1
+    assert all(dm.steps_per_epoch() == 4 for dm in dms)
+    # iterators actually yield those shards (batch of 1 -> sample per step)
+    for dm, expect in zip(dms, per_epoch):
+        it = dm.train_iter(loop=False)
+        got = [next(it) for _ in range(4)]
+        assert all(b["frames"].shape[0] == 1 for b in got)
+
+
+def test_multi_host_sampler_rank_validation():
+    ds = SyntheticClipDataset(num_clips=4, seq_len=2, crop_size=32)
+    try:
+        ClipDataModule(ds, rank=2, world=2)
+    except ValueError as e:
+        assert "rank" in str(e)
+    else:
+        raise AssertionError("rank >= world must raise")

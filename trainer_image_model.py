@@ -67,8 +67,14 @@ def main(argv):
     from ssgvc_tpu.utils.logging import CSVLogger, save_config_snapshot
 
     cfg = load_config(CONFIG_PATH, argv)
-    dm = make_datamodule(cfg)
-    steps_per_epoch = max(1, len(dm.train_indices) // cfg.dataset.batch_size)
+    from ssgvc_tpu.parallel.mesh import maybe_init_distributed
+    if maybe_init_distributed():
+        import jax
+        dm = make_datamodule(cfg, rank=jax.process_index(),
+                             world=jax.process_count())
+    else:
+        dm = make_datamodule(cfg)
+    steps_per_epoch = dm.steps_per_epoch()
     total_iters = cfg.epochs * steps_per_epoch
 
     log_dir = os.path.join(cfg.log_dir,

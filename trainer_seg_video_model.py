@@ -78,8 +78,17 @@ def main(argv):
                             cfg.dataset.seg_cache_dir)
         print(f"[cache] {stats}")
 
-    dm = make_datamodule(cfg)
-    steps_per_epoch = max(1, len(dm.train_indices) // cfg.dataset.batch_size)
+    # multi-host: init the runtime BEFORE building the datamodule so each
+    # host's loader iterates its disjoint epoch shard (DistributedSampler
+    # semantics; the reference relied on Lightning DDP to inject this)
+    from ssgvc_tpu.parallel.mesh import maybe_init_distributed
+    if maybe_init_distributed():
+        import jax
+        dm = make_datamodule(cfg, rank=jax.process_index(),
+                             world=jax.process_count())
+    else:
+        dm = make_datamodule(cfg)
+    steps_per_epoch = dm.steps_per_epoch()
     total_iters = cfg.epochs * steps_per_epoch
 
     import time

@@ -157,6 +157,36 @@ def main():
             "b6a810c): **124 fps / 8.06 ms/frame / 59% MFU**. "
             "`bench.py` prints the driver JSON line.", ""]
 
+    # ---- bench battery: multi-stream serving + variant overhead ---------
+    bat = _load("artifacts/bench_r04_battery.json")
+    if bat:
+        out += ["## Serving throughput: independent 1080p streams per chip "
+                "(`scripts/post_marathon_bench_r04.sh`)", "",
+                "Same jitted 48-frame GOP scan, batched over b independent "
+                "streams (`SSGVC_BENCH_BATCH`) — the per-chip serving "
+                "posture; per-stream latency stays a separate single-stream "
+                "number.", "",
+                "| config | streams | aggregate fps/chip | ms/frame | "
+                "MFU v5e |", "|---|---|---|---|---|"]
+        for label, b, name in (("performance b=1", 1, "bench_r04_final"),
+                               ("performance b=2", 2, "bench_r04_b2"),
+                               ("performance b=4", 4, "bench_r04_b4"),
+                               ("plain b=1", 1, "bench_r04_plain")):
+            r = bat.get(name) or {}
+            if r.get("value"):
+                out.append(f"| {label} | {b} | **{_fmt(r['value'], 1)}** | "
+                           f"{_fmt(r.get('ms_per_frame'), 2)} | "
+                           f"{_fmt(r.get('mfu_pct_v5e'), 1)} |")
+        ov = bat.get("performance_overhead_vs_plain_pct")
+        if ov is not None:
+            out.append("")
+            out.append(
+                f"`performance`-variant runtime overhead vs `plain`: "
+                f"**{_fmt(abs(ov), 1)}%** "
+                f"({'plain faster' if ov > 0 else 'performance faster'}; "
+                "reference claims ~14%, reference README.md:7).")
+        out.append("")
+
     # ---- rANS microbench -------------------------------------------------
     rb = _load("artifacts/bench_rans.json")
     if rb:

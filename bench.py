@@ -114,9 +114,9 @@ def main():
             "relay_ports": {p: port_state(p) for p in (8082, 8083, 8087)},
             # context only — NOT this run's measurement: the most recent
             # driver-captured number (BENCH_r01.json) and the builder-measured
-            # packed-io result from round 2 (README.md perf table)
+            # packed-io result from round 4 (README.md perf table)
             "last_driver_verified_fps": 97.0,
-            "last_builder_measured_fps": 124.0,
+            "last_builder_measured_fps": 125.4,
         }))
         return
     from ssgvc_tpu.config import DMCConfig

@@ -43,7 +43,10 @@ import json
 rows = {}
 for name in ("bench_r04_final", "bench_r04_b2", "bench_r04_b4", "bench_r04_plain"):
     try:
-        rows[name] = json.load(open(f"artifacts/{name}.json"))
+        # bench.py's stdout can carry a leading xla_bridge WARNING line on
+        # the axon runtime — the JSON result is the last non-empty line
+        lines = [l for l in open(f"artifacts/{name}.json") if l.strip()]
+        rows[name] = json.loads(lines[-1])
     except Exception as e:
         rows[name] = {"error": str(e)}
 single = rows["bench_r04_final"].get("value", 0)

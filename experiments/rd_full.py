@@ -39,12 +39,15 @@ TINY_DMC = MODEL_PROFILES["rd-tiny"]["dmc"]
 TINY_DMCI = MODEL_PROFILES["rd-tiny"]["dmci"]
 
 
+CKPT_EXTRA = ""  # extra namespace tag (e.g. "-roisub" for class-filter masks)
+
+
 def ckpt_path(variant: str) -> str:
     """Checkpoint dir encodes profile + recipe so a --profile or --recon-skip
     switch can never restore shape- or semantics-mismatched params
     (round-3 advisor finding)."""
     tag = f"{PROFILE}-skip" if RECON_SKIP else PROFILE
-    return f"artifacts/rd_ckpt_{variant}_{tag}"
+    return f"artifacts/rd_ckpt_{variant}_{tag}{CKPT_EXTRA}"
 
 
 def sample_qp(host_rng) -> int:
@@ -58,7 +61,10 @@ def sample_qp(host_rng) -> int:
 
 def dmci_ckpt_path() -> str:
     # DMCI has no recon_residual (intra), so only the profile tags it
-    return f"artifacts/rd_ckpt_dmci_{PROFILE}"
+    # (CKPT_EXTRA applies: roi_subset changes the painted-content
+    # distribution the intra model sees only marginally, but namespacing
+    # keeps the headline anchor immutable during side experiments)
+    return f"artifacts/rd_ckpt_dmci_{PROFILE}{CKPT_EXTRA}"
 
 
 def pretrain_dmci(steps: int, dm, budget_s: float, seed: int = 17,

@@ -40,7 +40,16 @@ from rd_full import EVAL_QPS, GATE_STEP, liveness_gate
 from rd_keep_best import score_of
 
 from ssgvc_tpu.data.device_synth import sample_qp as sample_qp_dev
-from ssgvc_tpu.data.device_synth import synth_batch
+from ssgvc_tpu.data.device_synth import synth_batch as _synth_batch
+
+# --roi-subset: class-filter masks (only a subset of painted objects enters
+# the mask — ssgvc_tpu/data/device_synth.py::_gen_clip). Module-global so
+# every training/eval call site in this file samples one distribution.
+ROI_SUBSET = False
+
+
+def synth_batch(key, **kw):
+    return _synth_batch(key, roi_subset=ROI_SUBSET, **kw)
 
 
 def _tpu_lock():
@@ -49,6 +58,9 @@ def _tpu_lock():
     import fcntl
 
     if os.environ.get("SSGVC_TPU_LOCK_HELD"):
+        return None
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # scrubbed-env CPU run: never contacts the relay, no lock needed
         return None
     f = open("/tmp/ssgvc_tpu_client.lock", "w")
     try:
@@ -406,6 +418,11 @@ def main():
     # (docs/FROM_SCRATCH_TRAINING.md); the first TPU smoke run collapsed
     # 6/6 plain inits at the 1000-step gate at bs=32.
     rd_full.RECON_SKIP = "--recon-skip" in argv
+    global ROI_SUBSET
+    ROI_SUBSET = "--roi-subset" in argv
+    if ROI_SUBSET:
+        # own checkpoint namespace: never clobber the headline artifacts
+        rd_full.CKPT_EXTRA = "-roisub"
     # tiny = the profile with committed CPU-marathon comparables;
     # mid = rd-mid (4x the FLOPs) — the tiny profile's eval ceiling
     # (~22.6 dB at 192px, QP spread <1 dB) is capacity-limited, and only
@@ -444,25 +461,30 @@ def main():
     n_eval = arg("--eval-clips", 6, int)
     eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
                                    crop_size=eval_crop,
-                                   seed=777, texture="smooth")
+                                   seed=777, texture="smooth",
+                                   roi_subset=ROI_SUBSET)
     eval_clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                   for i in range(n_eval)]
     gate_ds = SyntheticClipDataset(num_clips=4, seq_len=2, crop_size=crop,
-                                   seed=555, texture="smooth")
+                                   seed=555, texture="smooth",
+                                   roi_subset=ROI_SUBSET)
     gate_clips = [gate_ds.__getitem__(i, rng=np.random.default_rng(600 + i))
                   for i in range(2)]
 
     total_s = budget_min * 60.0
+    out_path = (argv[argv.index("--out") + 1] if "--out" in argv
+                else "artifacts/rd_tpu.json")
     results = {"runner": "rd_tpu", "budget_min": budget_min, "k": k,
                "crop": crop, "batch": bs, "profile": rd_full.PROFILE,
                "eval_crop": eval_crop, "steps_schedule": steps,
                "lambda_normalize": lnorm,
                "recon_residual": rd_full.RECON_SKIP,
+               "roi_subset": ROI_SUBSET,
                "backend": jax.devices()[0].platform, "variants": {}}
 
     def _save():
         os.makedirs("artifacts", exist_ok=True)
-        with open("artifacts/rd_tpu.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
 
     # ~35 intra steps/s at bs32/64px measured on the chip: 8000 steps ~ 4
@@ -509,7 +531,7 @@ def main():
         results["bd_psnr_db"] = bd_psnr(
             plain["bpp"], plain["psnr"], perf["bpp"], perf["psnr"])
         _save()
-    print("wrote artifacts/rd_tpu.json", flush=True)
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

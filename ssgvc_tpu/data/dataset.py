@@ -147,11 +147,17 @@ class SyntheticClipDataset:
 
     def __init__(self, num_clips: int = 64, seq_len: int = 4,
                  crop_size: int = 128, seed: int = 0,
-                 texture: str = "noise"):
+                 texture: str = "noise", roi_subset: bool = False):
         self.num_clips = num_clips
         self.seq_len = seq_len
         self.size = crop_size
         self.seed = seed
+        # roi_subset mimics build_cache's Waymo CLASS FILTER: all objects
+        # are painted but only a random subset (always incl. object 0)
+        # enters the mask — masked/unmasked objects share one appearance
+        # distribution, so the mask carries pixel-uninferable information
+        # (see data/device_synth.py::_gen_clip for why this matters)
+        self.roi_subset = roi_subset
         # 'noise' keeps uniform-noise object textures (hard: incompressible,
         # reconstruction hits the model's capacity floor so PSNR barely moves
         # with rate). 'smooth' uses low-frequency gradients + edges —
@@ -188,18 +194,24 @@ class SyntheticClipDataset:
             tex = self._object_texture(g, oh, ow)
             x0, y0 = int(g.integers(0, s - ow)), int(g.integers(0, s - oh))
             vx, vy = int(g.integers(-4, 5)), int(g.integers(-4, 5))
-            objs.append((tex, x0, y0, vx, vy))
+            objs.append([tex, x0, y0, vx, vy, True])
+        if self.roi_subset:
+            # flags drawn AFTER all object draws: painted frames stay
+            # bit-identical to roi_subset=False for the same seed (tested)
+            for i, obj in enumerate(objs):
+                obj[5] = i == 0 or bool(g.random() < 0.5)
 
         frames, masks = [], []
         for t in range(self.seq_len):
             frame = background.copy()
             mask = np.zeros((s, s, 1), np.float32)
-            for tex, x0, y0, vx, vy in objs:
+            for tex, x0, y0, vx, vy, in_roi in objs:
                 oh, ow = tex.shape[:2]
                 x = np.clip(x0 + vx * t, 0, s - ow)
                 y = np.clip(y0 + vy * t, 0, s - oh)
                 frame[y:y + oh, x:x + ow] = tex
-                mask[y:y + oh, x:x + ow] = 1.0
+                if in_roi:
+                    mask[y:y + oh, x:x + ow] = 1.0
             frames.append(np.clip(rgb2ycbcr_np(frame), 0.0, 1.0))
             masks.append(mask)
         return np.stack(frames), np.stack(masks)

@@ -52,10 +52,24 @@ def _object_texture(key, yy_n, xx_n):
     return jnp.clip(tex, 0.0, 1.0)
 
 
-def _gen_clip(key, size: int, seq_len: int):
-    """One clip: (frames (T, s, s, 3) YCbCr, masks (T, s, s, 1))."""
+def _gen_clip(key, size: int, seq_len: int, roi_subset: bool = False):
+    """One clip: (frames (T, s, s, 3) YCbCr, masks (T, s, s, 1)).
+
+    ``roi_subset=True`` mimics the Waymo YOLO cache's CLASS FILTER
+    (build_cache keeps only {person, car, bus}): every object is painted,
+    but only a random subset — always including object 0, so the ROI is
+    never empty — contributes to the mask. Masked and unmasked objects are
+    drawn from the SAME appearance distribution, so the mask carries
+    information the pixels alone cannot provide; with the default
+    union-of-objects mask a sufficiently-trained plain codec infers the
+    ROI from content and the measured ROI gain of mask conditioning
+    collapses (see RESULTS.md, 120k-step 192px run)."""
     s = size
-    k_bg, k_n, k_geom, k_tex = jax.random.split(key, 4)
+    k_bg, k_n, k_geom, k_roi = jax.random.split(key, 4)
+    roi_flags = (jnp.concatenate([
+        jnp.ones((1,)),
+        jax.random.bernoulli(k_roi, 0.5, (MAX_OBJ - 1,)).astype(jnp.float32)])
+        if roi_subset else jnp.ones((MAX_OBJ,)))
 
     base = jax.random.uniform(k_bg, (s // 8, s // 8, 3),
                               minval=0.2, maxval=0.8)
@@ -92,7 +106,7 @@ def _gen_clip(key, size: int, seq_len: int):
             xx_n = jnp.clip((xx - x) / jnp.maximum(ow - 1.0, 1.0), 0.0, 1.0)
             tex = _object_texture(objs["key"][idx], yy_n, xx_n)
             frame = jnp.where(inside, tex, frame)
-            mask = jnp.where(inside, 1.0, mask)
+            mask = jnp.where(inside & (roi_flags[idx] > 0), 1.0, mask)
             return (frame, mask), None
 
         (frame, mask), _ = jax.lax.scan(
@@ -103,15 +117,19 @@ def _gen_clip(key, size: int, seq_len: int):
     return frames, masks
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "size", "seq_len"))
-def synth_batch(key, batch: int = 8, size: int = 128, seq_len: int = 4):
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "size", "seq_len", "roi_subset"))
+def synth_batch(key, batch: int = 8, size: int = 128, seq_len: int = 4,
+                roi_subset: bool = False):
     """Batch of fresh clips entirely on device.
 
     Returns {"frames": (B, T, s, s, 3) YCbCr f32, "masks": (B, T, s, s, 1)}
     — the exact batch layout ClipDataModule.train_iter feeds the Trainer.
+    ``roi_subset`` selects the class-filter mask mode (see _gen_clip).
     """
     frames, masks = jax.vmap(
-        lambda k: _gen_clip(k, size, seq_len))(jax.random.split(key, batch))
+        lambda k: _gen_clip(k, size, seq_len, roi_subset))(
+        jax.random.split(key, batch))
     return {"frames": frames, "masks": masks}
 
 

@@ -66,3 +66,39 @@ def test_sample_qp_distribution():
     eval_qps = np.asarray([8, 20, 32, 44, 56])
     near = (np.abs(qps[:, None] - eval_qps[None, :]).min(axis=1) <= 3)
     assert 0.55 < near.mean() < 0.95  # ~70% near + uniform spillover
+
+
+def test_roi_subset_mask_is_informative_subset():
+    """Class-filter mode: masks are a strict subset of painted content on
+    average (some moving objects stay unmasked, like Waymo's YOLO class
+    filter), never empty, and both generators agree on coverage."""
+    size, T, n = 64, 4, 24
+    d_all = synth_batch(jax.random.PRNGKey(7), batch=n, size=size, seq_len=T)
+    d_sub = synth_batch(jax.random.PRNGKey(7), batch=n, size=size, seq_len=T,
+                        roi_subset=True)
+    cov_all = float(np.asarray(d_all["masks"]).mean())
+    cov_sub = float(np.asarray(d_sub["masks"]).mean())
+    assert cov_sub < cov_all * 0.95          # some objects left out
+    # per-clip: never an empty ROI (object 0 is always masked)
+    per_clip = np.asarray(d_sub["masks"]).reshape(n, -1).mean(axis=1)
+    assert (per_clip > 0).all()
+
+    host = SyntheticClipDataset(num_clips=n, seq_len=T, crop_size=size,
+                                seed=7, texture="smooth", roi_subset=True)
+    hm = np.stack([host[i][1] for i in range(n)])
+    assert (hm.reshape(n, -1).mean(axis=1) > 0).all()
+    assert abs(hm.mean() - cov_sub) < 0.10   # distribution parity
+
+
+def test_roi_subset_frames_unchanged():
+    """roi_subset changes ONLY the mask: painted frames must be identical
+    for the same host seed (appearance distribution shared, so the mask
+    carries pixel-uninferable information)."""
+    a = SyntheticClipDataset(num_clips=2, seq_len=2, crop_size=64, seed=3,
+                             texture="smooth", roi_subset=False)
+    b = SyntheticClipDataset(num_clips=2, seq_len=2, crop_size=64, seed=3,
+                             texture="smooth", roi_subset=True)
+    fa, ma = a[0]
+    fb, mb = b[0]
+    np.testing.assert_allclose(fa, fb)
+    assert mb.sum() <= ma.sum()

@@ -135,7 +135,15 @@ def main():
                                                qp_shift=qp_shift)
                     real = float(np.mean([r["bpp"] for r in coded
                                           if r["frame_type"] == "P"]))
-                    est = curve["bpp"][qi]
+                    # est must be the SAME clip the coded path ran on —
+                    # curve["bpp"] averages all 6 clips, and per-clip rate
+                    # variance (clip 0 runs ~50% above the mean on these
+                    # eval seeds) once masqueraded as a 56-106% coder gap
+                    est_clip = evaluate_gop_estimated(
+                        tr.dmci, ck["params_i"], tr.dmc, ck["params_p"],
+                        frames, masks, qp, index_map, qp_shift)
+                    est = float(np.mean([r["bpp"] for r in est_clip
+                                         if r["frame_type"] == "P"]))
                     gaps[qp] = {"estimated": est, "real": real,
                                 "gap_pct": round(100.0 * (real - est)
                                                  / max(est, 1e-9), 1)}

@@ -23,6 +23,7 @@ This is a working reconstruction, TPU-native:
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Dict
 
@@ -101,7 +102,13 @@ class VideoCodec:
         if coder_profile is None:
             self.scale_min, self.scale_max = 0.11, 16.0
             self.scale_levels = scale_levels
-            dist, scan = "gaussian", 8
+            # pmf support must cover ~3.9 sigma of the LARGEST table scale,
+            # else high-rate symbols fall off the row and escape-code: with
+            # the old scan=8, 6% of pass-0 symbols escaped at QP56 on the
+            # trained mid checkpoints (+25-30% real-vs-estimated bpp). The
+            # refactor GaussianEncoder scans 50 for the same reason
+            # (src/refactor/entropy_models.py:252).
+            dist, scan = "gaussian", min(64, int(math.ceil(3.9 * 16.0)))
         else:
             prof = cdf_mod.REFRACTOR_PROFILES[coder_profile]
             self.scale_min = prof["scale_min"]

@@ -394,6 +394,20 @@ def main():
                         f"{_fmt(per_v.get('bd_rate_roi_psnr_pct'), 1)}% / "
                         f"global {_fmt(per_v.get('bd_rate_psnr_pct'), 1)}%",
                         ""]
+            gap_rows = [(v, c["est_vs_real_bpp"]) for v, c in per_v.items()
+                        if isinstance(c, dict) and c.get("est_vs_real_bpp")]
+            if gap_rows:
+                out += [f"Estimated vs real (rANS) bpp at {crop}px, same "
+                        "clip (mean over P frames; y tables span 3.9σ of "
+                        "the max table scale):", "",
+                        "| variant | QP | estimated | real coded | gap% |",
+                        "|---|---|---|---|---|"]
+                for v, gaps in gap_rows:
+                    for qp, g in gaps.items():
+                        out.append(f"| {v} | {qp} | {_fmt(g.get('estimated'))}"
+                                   f" | {_fmt(g.get('real'))} | "
+                                   f"{_fmt(g.get('gap_pct'), 1)} |")
+                out.append("")
 
     # ---- e2e journey ----------------------------------------------------
     e2e = _load("artifacts/e2e_waymo_format.json")

@@ -316,6 +316,38 @@ def main():
                 out.append(f"| {qp} | {_fmt(e)} | {_fmt(r)} | {_fmt(pct, 1)} |")
             out.append("")
 
+    # ---- ROI-subset (class-filter mask) A/B ------------------------------
+    sub = _load("artifacts/rd_tpu_roisub.json")
+    if _complete(sub):
+        base_db = (latest or {}).get("bd_psnr_roi_db")
+        out += ["## ROI-subset masks: the mask-conditioning A/B "
+                "(`artifacts/rd_tpu_roisub.json`)", "",
+                "With union-of-all-objects masks, a trained plain codec "
+                "infers the ROI from content alone, so mask conditioning "
+                "cannot add much"
+                + (f" (headline run above: ROI BD-PSNR {_fmt(base_db, 2)} "
+                   "dB)" if base_db is not None else "")
+                + ". The Waymo pipeline's YOLO cache keeps only a CLASS "
+                "subset {person, car, bus} (reference "
+                "src/utils/build_cache.py) — the mask carries information "
+                "pixels alone cannot provide. `roi_subset` replicates that: "
+                "all objects painted, a random subset masked, same "
+                "appearance distribution. Both variants fine-tuned from the "
+                "headline checkpoints on roi_subset data "
+                f"(bs={sub.get('batch')}, {sub.get('crop')}px, lr 2e-4), "
+                "evaluated on roi_subset masks.", ""]
+        for v, c in sub["variants"].items():
+            curve = c.get("estimated_rd")
+            if curve:
+                out += [f"### roi_subset / `{v}`", "",
+                        rd_table(curve, curve.get("qp", [8, 20, 32, 44, 56])),
+                        ""]
+        out += [f"ROI BD-PSNR at matched rate (performance vs plain): "
+                f"**{_fmt(sub.get('bd_psnr_roi_db'), 2)} dB**; BD-rate ROI "
+                f"**{_fmt(sub.get('bd_rate_roi_psnr_pct'), 1)}%**; global "
+                f"BD-rate {_fmt(sub.get('bd_rate_psnr_pct'), 1)}% / BD-PSNR "
+                f"{_fmt(sub.get('bd_psnr_db'), 2)} dB.", ""]
+
     # ---- marathon trajectory (convergence evidence) ---------------------
     traj = _load("artifacts/rd_trajectory.json")
     if traj and traj.get("summary"):

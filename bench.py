@@ -137,7 +137,11 @@ def main():
     # the driver tracks across rounds
     b = int(_os.environ.get("SSGVC_BENCH_BATCH", "1"))
     h, w = 1088, 1920
-    n_frames = 48
+    # total in-flight frames stay at the proven b=1 envelope: the batched
+    # ingest permutation materializes all n_frames*b packed frames at once,
+    # and 96 of them OOMed the 16 GB HBM (r04 b=2 battery run: 19.3 GB
+    # padded reshape). fps normalizes by n_frames*b either way.
+    n_frames = max(48 // b, 8)
     # unique per-process salt: tunneled runtimes cache (executable, args)
     # results across processes, which would fake the measurement
     key = jax.random.PRNGKey(time.time_ns() % (2**31))

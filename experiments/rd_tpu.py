@@ -224,7 +224,7 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
                       size: int, seq_len: int, budget_s: float,
                       eval_clips, gate_clips, eval_every: int,
                       params_i, lnorm: bool, seed: int = 0,
-                      base_lr: float = 7e-4):
+                      base_lr: float = 7e-4, roi_weight: float = 100.0):
     """Train one DMC variant with mega-steps; keep the best params by held-out
     eval score (rd_keep_best semantics, but within the run: every eval that
     improves the score snapshots params to host memory)."""
@@ -238,7 +238,10 @@ def train_variant_tpu(variant: str, steps: int, k: int, batch: int,
     cfg.precision = "fp32"
     cfg.optimizer.base_lr = base_lr
     cfg.optimizer.min_lr = 5e-5
-    cfg.roi_weight = 100.0
+    # 100.0 = reference parity (trainer_seg_video_model.py:928 "Masked =
+    # 100x"); 0.0 = the UNGUIDED baseline (pure MSE, what the README's
+    # "baseline DMC" most plausibly is) for the full-package A/B.
+    cfg.roi_weight = roi_weight
     cfg.lambda_normalize = lnorm
     trainer = Trainer(
         cfg, total_iters=steps,
@@ -423,6 +426,10 @@ def main():
     if ROI_SUBSET:
         # own checkpoint namespace: never clobber the headline artifacts
         rd_full.CKPT_EXTRA = "-roisub"
+    if "--ckpt-extra" in argv:
+        # explicit namespace override (e.g. "-roisub-noroi" for the unguided
+        # roi_weight=0 anchor warm-started from a pre-copied roisub ckpt)
+        rd_full.CKPT_EXTRA = argv[argv.index("--ckpt-extra") + 1]
     # tiny = the profile with committed CPU-marathon comparables;
     # mid = rd-mid (4x the FLOPs) — the tiny profile's eval ceiling
     # (~22.6 dB at 192px, QP spread <1 dB) is capacity-limited, and only
@@ -480,6 +487,7 @@ def main():
                "lambda_normalize": lnorm,
                "recon_residual": rd_full.RECON_SKIP,
                "roi_subset": ROI_SUBSET,
+               "roi_weight": arg("--roi-weight", 100.0),
                "backend": jax.devices()[0].platform, "variants": {}}
 
     def _save():
@@ -501,7 +509,8 @@ def main():
             variant, steps, k, bs, crop, seq_len, total_s * 0.425,
             eval_clips, gate_clips, eval_every=arg("--eval-every", 2000, int),
             params_i=params_i, lnorm=lnorm,
-            base_lr=arg("--base-lr", 7e-4))
+            base_lr=arg("--base-lr", 7e-4),
+            roi_weight=arg("--roi-weight", 100.0))
         if not ok:
             results["variants"][variant] = {"gate": "aborted_collapse"}
             _save()

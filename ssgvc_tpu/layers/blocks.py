@@ -42,6 +42,47 @@ def wsilu_chunk_add(x: jnp.ndarray) -> jnp.ndarray:
     return x1 + x2
 
 
+def dw3x3_shiftadd(h: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3 conv (padding=1) as 9 shifted multiply-adds.
+
+    Mathematically identical to ``conv(C, 3, padding=1, groups=C)`` with the
+    same HWIO (3, 3, 1, C) kernel, but expressed as pad/slice/mul/add — pure
+    elementwise data movement with NO convolution op. On TPU this matters:
+    XLA lowers feature_group_count=C convs on a path that prefers a different
+    tile layout than the surrounding 1x1 MXU matmuls, inserting a layout
+    round-trip copy on both sides of every DepthConvBlock (the r04 1080p
+    trace shows ~22% of device time in such copies). The shifted-add form
+    fuses into the neighboring elementwise epilogues with no layout opinion.
+    FLOPs are negligible either way (9*H*W*C vs the block's 1x1 matmuls).
+
+    MEASURED NEGATIVE RESULT (r04 hardware A/B, artifacts/
+    bench_r04_shiftadd.json): 99.2 fps vs 125.2 fps for the grouped-conv
+    path on the full 1080p bench — the 9 padded-slice reads re-touch the
+    activation 9x from HBM and XLA does not CSE them into one sweep, which
+    costs more than the conv path's layout copies save. Default stays
+    'conv'; kept as an opt-in (SSGVC_DW=shiftadd) correctness-verified
+    alternative so future layout work can re-A/B it cheaply. Same lesson
+    as the Pallas full-model chains (commits 3995ca0/52fa88c): on this
+    model XLA's own conv+fusion schedule beats hand-decomposed forms.
+    """
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H, W = h.shape[1], h.shape[2]
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            t = hp[:, dy:dy + H, dx:dx + W, :] * kernel[dy, dx, 0]
+            acc = t if acc is None else acc + t
+    return acc + bias
+
+
+def _dw_shiftadd() -> bool:
+    """SSGVC_DW selects the depthwise-3x3 implementation inside
+    DepthConvBlock: 'shiftadd' (see dw3x3_shiftadd) or 'conv' (the grouped
+    conv op). Read at trace time."""
+    return _os.environ.get("SSGVC_DW", "conv") == "shiftadd"
+
+
 def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
          dtype=None, zero_init=False):
     """Bare nn.Conv with our conventions. Pass ``name`` in compact modules;
@@ -273,8 +314,13 @@ class DepthConvBlock(nn.Module):
 
         h = conv(self.out_ch, 1, name="dc_0", dtype=self.dtype)(x)
         h = wsilu(h)
-        h = conv(self.out_ch, 3, padding=1, groups=self.out_ch, name="dc_2",
-                 dtype=self.dtype)(h)
+        if _dw_shiftadd():
+            # identical params/names to the conv path; checkpoints interchange
+            k2, b2 = _ConvParams((3, 3, 1, self.out_ch), name="dc_2")()
+            h = dw3x3_shiftadd(h, k2.astype(h.dtype), b2.astype(h.dtype))
+        else:
+            h = conv(self.out_ch, 3, padding=1, groups=self.out_ch,
+                     name="dc_2", dtype=self.dtype)(h)
         h = conv(self.out_ch, 1, name="dc_3", dtype=self.dtype,
                  zero_init=True)(h)
         out = h + x

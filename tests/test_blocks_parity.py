@@ -116,3 +116,27 @@ def test_residual_block_upsample():
     fm = ResidualBlockUpsample(10)
     x = np.random.default_rng(6).normal(size=(2, 6, 8, 8)).astype(np.float32)
     run_pair(tm, fm, x)
+
+
+@pytest.mark.parametrize("shortcut", [False, True])
+def test_depth_conv_block_shiftadd_matches_conv(monkeypatch, shortcut):
+    """SSGVC_DW=shiftadd (depthwise 3x3 as 9 shifted multiply-adds) is
+    numerically identical to the grouped-conv path and shares its param
+    tree — checkpoints are interchangeable across the flag."""
+    fm = DepthConvBlock(16, shortcut=shortcut)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 12, 20, 16)).astype(np.float32))
+    monkeypatch.setenv("SSGVC_DW", "conv")
+    params = fm.init(jax.random.PRNGKey(0), x)
+    # randomize the ReZero tails so the depthwise output reaches the output
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(8)
+        .standard_normal(p.shape).astype(np.float32), params)
+    a = fm.apply(params, x)
+    monkeypatch.setenv("SSGVC_DW", "shiftadd")
+    params2 = fm.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params2))
+    b = fm.apply(params, x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=2e-6, rtol=1e-5)

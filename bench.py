@@ -166,19 +166,33 @@ def main():
         after_i=False, mask=pixel_unshuffle(jnp.zeros((1, 64, 64, 1)), 8),
         train=False)["params"]
 
+    # SSGVC_INGEST=scan permutes each frame into the packed domain inside
+    # its scan step (in-flight working set drops from all n_frames packed
+    # frames to one) instead of the default one batched upfront
+    # permutation. Both are counted in the timing. MEASURED (r04,
+    # artifacts/bench_r04_iscan.json): 116.0 fps vs 125.2 batched — the
+    # per-step transpose does NOT fuse into the first conv and schedules
+    # worse than one large batched permutation, so the default stays
+    # 'batched'.
+    ingest_scan = _os.environ.get("SSGVC_INGEST", "batched") == "scan"
+
     @jax.jit
     def gop(params, frames, masks, qp, dpb):
-        # one batched ingest permutation into the packed domain (counted)
-        fb = frames.reshape((n_frames * b,) + frames.shape[2:])
-        mb = masks.reshape((n_frames * b,) + masks.shape[2:])
-        frames = pixel_unshuffle(fb, 8).reshape(
-            (n_frames, b, h // 8, w // 8, -1))
-        masks = pixel_unshuffle(mb, 8).reshape(
-            (n_frames, b, h // 8, w // 8, -1))
         dpb = dict(dpb, frame=pixel_unshuffle(dpb["frame"], 8))
+        if not ingest_scan:
+            # one batched ingest permutation into the packed domain (counted)
+            fb = frames.reshape((n_frames * b,) + frames.shape[2:])
+            mb = masks.reshape((n_frames * b,) + masks.shape[2:])
+            frames = pixel_unshuffle(fb, 8).reshape(
+                (n_frames, b, h // 8, w // 8, -1))
+            masks = pixel_unshuffle(mb, 8).reshape(
+                (n_frames, b, h // 8, w // 8, -1))
 
         def step(dpb, xs):
             frame, mask = xs
+            if ingest_scan:
+                frame = pixel_unshuffle(frame, 8)
+                mask = pixel_unshuffle(mask, 8)
             out = model.apply({"params": params}, frame, qp, dpb,
                               after_i=False, mask=mask, train=False)
             return out["dpb"], out["bpp"]

@@ -162,10 +162,13 @@ def main():
     if bat:
         out += ["## Serving throughput: independent 1080p streams per chip "
                 "(`scripts/post_marathon_bench_r04.sh`)", "",
-                "Same jitted 48-frame GOP scan, batched over b independent "
-                "streams (`SSGVC_BENCH_BATCH`) — the per-chip serving "
-                "posture; per-stream latency stays a separate single-stream "
-                "number.", "",
+                "Same jitted GOP scan (48 in-flight frames total), batched "
+                "over b independent streams (`SSGVC_BENCH_BATCH`). Measured "
+                "result: batching LOSES on this chip — the b=1 activation "
+                "working set already fills VMEM at 1080p, so b=2 spills the "
+                "fusion schedule to HBM (MFU 59.7%→46.0%) and b=4's compile "
+                "exceeded a 15-min timeout. Single-stream b=1 is the best "
+                "per-chip operating point; scale serving across chips.", "",
                 "| config | streams | aggregate fps/chip | ms/frame | "
                 "MFU v5e |", "|---|---|---|---|---|"]
         for label, b, name in (("performance b=1", 1, "bench_r04_final"),
@@ -177,6 +180,8 @@ def main():
                 out.append(f"| {label} | {b} | **{_fmt(r['value'], 1)}** | "
                            f"{_fmt(r.get('ms_per_frame'), 2)} | "
                            f"{_fmt(r.get('mfu_pct_v5e'), 1)} |")
+            elif r.get("error"):
+                out.append(f"| {label} | {b} | — | — | — |")
         ov = bat.get("performance_overhead_vs_plain_pct")
         if ov is not None:
             out.append("")

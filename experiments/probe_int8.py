@@ -30,17 +30,48 @@ import numpy as np
 from jax import lax
 
 
-def bench(fn, *args, reps=20):
-    out = jax.jit(fn)(*args)
+_FLOOR = None  # measured per-call dispatch+fetch floor (tunnel round trip)
+
+
+def call_floor():
+    """The ~26 ms/call tunnel dispatch+fetch floor (first probe version
+    returned exactly this for EVERY case — pure round-trip latency, not
+    compute). Measured once with a trivial jitted op and subtracted."""
+    global _FLOOR
+    if _FLOOR is None:
+        tiny = jnp.ones((8, 128), jnp.float32)
+        f = jax.jit(lambda x: x + 1.0)
+        float(jnp.sum(f(tiny))[None][0])
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(jnp.sum(f(tiny))[None][0])
+            ts.append(time.perf_counter() - t0)
+        _FLOOR = min(ts)
+    return _FLOOR
+
+
+def bench(fn, x, *args, chain=1000, reps=6):
+    """Time ``chain`` data-dependent applications of fn inside ONE jit;
+    return seconds per single application net of the dispatch floor.
+    fn must map x -> same shape/dtype."""
+
+    @jax.jit
+    def chained(x, *args):
+        def body(x, _):
+            return fn(x, *args), ()
+        x, _ = lax.scan(body, x, None, length=chain)
+        return x
+
+    out = chained(x, *args)
     jax.tree.map(lambda a: a.block_until_ready(), out)
-    # fetch a scalar per rep: tunneled runtimes cache results across calls
     ts = []
     for r in range(reps):
         t0 = time.perf_counter()
-        out = jax.jit(fn)(*args)
+        out = chained(x, *args)
         float(jnp.sum(out.astype(jnp.float32))[None][0])
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return max(min(ts) - call_floor(), 1e-9) / chain
 
 
 def main():
@@ -68,10 +99,13 @@ def main():
                                             dimension_numbers=dn)
 
         def conv_int8(x, w):
+            # int8 conv + the requant epilogue a real quantized layer pays
             y = lax.conv_general_dilated(
                 x, w, (1, 1), pad, dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
-            return (y.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            yq = jnp.clip(jnp.round(y.astype(jnp.float32) * scale),
+                          -127, 127)
+            return yq.astype(jnp.int8)
 
         t_f = bench(conv_bf16, x_f, w_f)
         try:
@@ -103,10 +137,12 @@ def main():
         return a @ b_
 
     def mm_int8(a, b_):
-        return lax.dot(a, b_, preferred_element_type=jnp.int32)
+        y = lax.dot(a, b_, preferred_element_type=jnp.int32)
+        yq = jnp.clip(jnp.round(y.astype(jnp.float32) * 1e-4), -127, 127)
+        return yq.astype(jnp.int8)
 
-    t_f = bench(mm_bf16, a_f, a_f)
-    t_i = bench(mm_int8, a_i, a_i)
+    t_f = bench(mm_bf16, a_f, a_f, chain=50)
+    t_i = bench(mm_int8, a_i, a_i, chain=50)
     flops = 2 * m ** 3
     row = {"case": f"matmul {m}^3",
            "bf16_ms": round(t_f * 1e3, 3),

@@ -83,14 +83,79 @@ def _dw_shiftadd() -> bool:
     return _os.environ.get("SSGVC_DW", "conv") == "shiftadd"
 
 
+def _int8_wanted() -> bool:
+    """SSGVC_INT8=1 swaps every groups=1 ``conv()`` site for QuantConv
+    (W8A8 dynamic quantization, ~2x MXU rate on v5e — measured
+    artifacts/probe_int8.json). Read at trace time; param trees are
+    identical so checkpoints interchange across the flag."""
+    return _os.environ.get("SSGVC_INT8", "0") == "1"
+
+
+class QuantConv(nn.Module):
+    """Drop-in W8A8 int8 conv: same param tree as ``nn.Conv`` (fp32
+    ``kernel`` HWIO + ``bias``), quantization is runtime-only.
+
+    Recipe: per-output-channel symmetric weight scales (abs-max/127,
+    quantized from the fp32 params at trace time — loop-invariant, XLA
+    hoists it out of the frame scan), dynamic per-tensor symmetric
+    activation scale (abs-max/127), int8 conv with int32 accumulation
+    (``preferred_element_type``), then a fused fp32 dequant+bias epilogue
+    cast back to the compute dtype. Deterministic, so the coded path stays
+    encoder/decoder-consistent as long as both sides run the same flag.
+    v5e MXU peaks: measured int8 speedup 1.16x (1x1 @ model shapes) to
+    2.02x (large matmul) — artifacts/probe_int8.json."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: Any
+    dtype: Optional[Dtype] = None
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jax import lax
+
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        k = self.param(
+            "kernel",
+            (nn.initializers.zeros if self.zero_init
+             else nn.initializers.lecun_normal()), kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.round(k / s_w).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        dn = lax.conv_dimension_numbers(x.shape, kshape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            xq, wq, self.strides, self.padding, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (s_x * s_w) + b
+        return out.astype(self.dtype or x.dtype)
+
+
 def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
          dtype=None, zero_init=False):
     """Bare nn.Conv with our conventions. Pass ``name`` in compact modules;
     in ``setup()`` the attribute name takes over (flax forbids explicit names
-    there). ``zero_init`` zeroes the kernel (ReZero-style residual tails)."""
+    there). ``zero_init`` zeroes the kernel (ReZero-style residual tails).
+    Under SSGVC_INT8=1 groups=1 sites become QuantConv (same param tree)."""
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
+    if groups == 1 and _int8_wanted():
+        return QuantConv(
+            features=features,
+            kernel_size=(kernel_size, kernel_size),
+            strides=(stride, stride),
+            padding=pad,
+            dtype=dtype,
+            zero_init=zero_init,
+            name=name,
+        )
     return nn.Conv(
         features=features,
         kernel_size=(kernel_size, kernel_size),

@@ -140,3 +140,27 @@ def test_depth_conv_block_shiftadd_matches_conv(monkeypatch, shortcut):
     b = fm.apply(params, x)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_depth_conv_block_int8_quantconv(monkeypatch):
+    """SSGVC_INT8=1 (W8A8 QuantConv) shares the conv path's param tree
+    (checkpoints interchange), is deterministic, and tracks the fp32
+    output within quantization tolerance through a full DepthConvBlock."""
+    monkeypatch.setenv("SSGVC_DW", "conv")
+    fm = DepthConvBlock(16)
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 12, 20, 16)).astype(np.float32))
+    monkeypatch.setenv("SSGVC_INT8", "0")
+    params = fm.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(8)
+        .standard_normal(p.shape).astype(np.float32), params)
+    a = np.asarray(fm.apply(params, x))
+    monkeypatch.setenv("SSGVC_INT8", "1")
+    params2 = fm.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params2))
+    b = np.asarray(fm.apply(params, x))
+    assert np.array_equal(b, np.asarray(fm.apply(params, x)))  # deterministic
+    rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, f"int8 relative error {rel:.4f} exceeds 2%"

@@ -176,6 +176,33 @@ def main():
     # 'batched'.
     ingest_scan = _os.environ.get("SSGVC_INGEST", "batched") == "scan"
 
+    # SSGVC_INT8=2: static-scale W8A8 — calibrate per-site activation
+    # abs-max with ONE small-frame apply (sow collection), bake the scales
+    # as trace-time constants so quantize fuses into each producer op.
+    # (Mode 1, dynamic scales, measured SLOWER full-model: 104 vs 125.6 fps
+    # — the per-conv abs-max reduction defeats fusion.)
+    if _os.environ.get("SSGVC_INT8") == "2":
+        from ssgvc_tpu.layers import blocks as _blocks
+        cal_frame = pixel_unshuffle(
+            jax.random.uniform(jax.random.PRNGKey(7), (1, 256, 256, 3),
+                               jnp.bfloat16), 8)
+        cal_mask = pixel_unshuffle(
+            (jax.random.uniform(jax.random.PRNGKey(8), (1, 256, 256, 1))
+             > 0.8).astype(jnp.bfloat16), 8)
+        cal_dpb = {
+            "frame": pixel_unshuffle(
+                jax.random.uniform(jax.random.PRNGKey(9), (1, 256, 256, 3),
+                                   jnp.bfloat16), 8),
+            "feature": jax.random.normal(
+                jax.random.PRNGKey(10), (1, 32, 32, cfg.ch_d),
+                jnp.bfloat16) * 0.1,
+        }
+        _, cal = model.apply({"params": params}, cal_frame, qp, cal_dpb,
+                             after_i=False, mask=cal_mask, train=False,
+                             mutable=["int8_calib"])
+        _blocks.set_int8_scales(
+            _blocks.collect_int8_scales(cal["int8_calib"]))
+
     @jax.jit
     def gop(params, frames, masks, qp, dpb):
         dpb = dict(dpb, frame=pixel_unshuffle(dpb["frame"], 8))

@@ -83,12 +83,51 @@ def _dw_shiftadd() -> bool:
     return _os.environ.get("SSGVC_DW", "conv") == "shiftadd"
 
 
-def _int8_wanted() -> bool:
-    """SSGVC_INT8=1 swaps every groups=1 ``conv()`` site for QuantConv
-    (W8A8 dynamic quantization, ~2x MXU rate on v5e — measured
-    artifacts/probe_int8.json). Read at trace time; param trees are
-    identical so checkpoints interchange across the flag."""
-    return _os.environ.get("SSGVC_INT8", "0") == "1"
+def _int8_mode() -> str:
+    """SSGVC_INT8 swaps every groups=1 ``conv()`` site for QuantConv
+    (W8A8 quantization, ~2x MXU rate on v5e — artifacts/probe_int8.json).
+    "1" = dynamic per-tensor activation scale (a full abs-max reduction
+    before every conv — measured SLOWER full-model: the reduction
+    serializes against the conv and defeats producer fusion).
+    "2" = static per-site scales from :func:`set_int8_scales` (calibrated
+    once via the ``int8_calib`` sow collection); quantize is then a pure
+    elementwise op with a trace-time constant, fusable into the producer.
+    Read at trace time; param trees are identical across all modes."""
+    return _os.environ.get("SSGVC_INT8", "0")
+
+
+# site path ("/".join(module path)) -> calibrated activation abs-max.
+# Populated by set_int8_scales(); consulted only under SSGVC_INT8=2.
+_INT8_SCALES: dict = {}
+
+
+def set_int8_scales(scales: dict) -> None:
+    """Install static activation abs-max per QuantConv site (mode 2).
+
+    ``scales`` maps "/".join(module-path) -> float abs-max, as produced by
+    :func:`collect_int8_scales` from a calibration apply. Call before
+    tracing; traced programs bake these as constants."""
+    _INT8_SCALES.clear()
+    _INT8_SCALES.update(scales)
+
+
+def collect_int8_scales(calib_collection: dict, margin: float = 1.25) -> dict:
+    """Flatten a ``mutable=["int8_calib"]`` apply's collection into the
+    path->abs-max dict set_int8_scales expects. ``margin`` head-rooms the
+    observed abs-max so unseen content clips rarely (clipping degrades
+    softly; codec math stays encoder/decoder-consistent since both sides
+    bake the same constants)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(calib_collection)
+    out = {}
+    for path, val in flat.items():
+        # path = (..., module names ..., "absmax"); sow with a reduce_fn
+        # stores the reduced scalar directly
+        key = "/".join(path[:-1])
+        # sites under lax.scan/vmap sow a stacked vector — reduce it
+        out[key] = float(jnp.max(jnp.asarray(val))) * margin
+    return out
 
 
 class QuantConv(nn.Module):
@@ -126,7 +165,20 @@ class QuantConv(nn.Module):
         s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
         wq = jnp.round(k / s_w).astype(jnp.int8)
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        site = "/".join(tuple(self.scope.path) + ("absmax",)).rsplit(
+            "/absmax", 1)[0]
+        if self.is_mutable_collection("int8_calib"):
+            # calibration pass: record the per-site activation abs-max
+            self.sow("int8_calib", "absmax", jnp.max(jnp.abs(xf)),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
+        absmax = _INT8_SCALES.get(site) if _int8_mode() == "2" else None
+        if absmax is not None:
+            # static scale: quantize is elementwise with a constant — XLA
+            # fuses it into the producer's epilogue (int8 HBM handoff)
+            s_x = jnp.float32(max(absmax, 1e-12) / 127.0)
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -146,7 +198,7 @@ def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
-    if groups == 1 and _int8_wanted():
+    if groups == 1 and _int8_mode() != "0":
         return QuantConv(
             features=features,
             kernel_size=(kernel_size, kernel_size),

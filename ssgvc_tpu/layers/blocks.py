@@ -99,16 +99,53 @@ def _int8_mode() -> str:
 # site path ("/".join(module path)) -> calibrated activation abs-max.
 # Populated by set_int8_scales(); consulted only under SSGVC_INT8=2.
 _INT8_SCALES: dict = {}
+# sites already warned about missing mode-2 calibration (once per site)
+_INT8_WARNED: set = set()
+# sites that have baked a static scale into a traced program (guards
+# set_int8_scales against post-trace rescaling that jit caches would ignore)
+_INT8_BAKED: set = set()
 
 
 def set_int8_scales(scales: dict) -> None:
     """Install static activation abs-max per QuantConv site (mode 2).
 
     ``scales`` maps "/".join(module-path) -> float abs-max, as produced by
-    :func:`collect_int8_scales` from a calibration apply. Call before
-    tracing; traced programs bake these as constants."""
+    :func:`collect_int8_scales` from a calibration apply. MUST be called
+    before the first trace of any function using these sites: jax.jit
+    caches traced programs, so scales installed afterwards are ignored by
+    already-compiled executables (clear caches or use fresh functions to
+    rescale). Enforced softly: installing a *different* scale set after a
+    QuantConv site has already baked constants raises."""
+    if _INT8_BAKED and dict(_INT8_SCALES) != dict(scales):
+        raise RuntimeError(
+            "set_int8_scales called with different scales after a QuantConv "
+            "site already baked the previous ones into a traced program; "
+            "jit caches would silently keep the stale constants. Install "
+            "scales before the first trace (or clear jax caches).")
     _INT8_SCALES.clear()
     _INT8_SCALES.update(scales)
+
+
+def save_int8_scales(path: str) -> None:
+    """Persist the installed mode-2 scales as JSON next to a checkpoint.
+
+    Encoder/decoder consistency for the coded path requires BOTH processes
+    to bake bit-identical dequant constants; a decoder must load the
+    encoder's calibrated scales rather than recalibrate."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(_INT8_SCALES, f, indent=0, sort_keys=True)
+
+
+def load_int8_scales(path: str) -> dict:
+    """Load scales saved by :func:`save_int8_scales` and install them."""
+    import json
+
+    with open(path) as f:
+        scales = {k: float(v) for k, v in json.load(f).items()}
+    set_int8_scales(scales)
+    return scales
 
 
 def collect_int8_scales(calib_collection: dict, margin: float = 1.25) -> dict:
@@ -165,17 +202,31 @@ class QuantConv(nn.Module):
         s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12) / 127.0
         wq = jnp.round(k / s_w).astype(jnp.int8)
         xf = x.astype(jnp.float32)
-        site = "/".join(tuple(self.scope.path) + ("absmax",)).rsplit(
-            "/absmax", 1)[0]
-        if self.is_mutable_collection("int8_calib"):
-            # calibration pass: record the per-site activation abs-max
+        site = "/".join(self.scope.path)
+        if (self.is_mutable_collection("int8_calib")
+                and not self.is_initializing()):
+            # calibration pass: record the per-site activation abs-max.
+            # Guarded against init (all collections are mutable there) so
+            # ``init`` returns only {"params"} and checkpoints stay clean.
             self.sow("int8_calib", "absmax", jnp.max(jnp.abs(xf)),
                      init_fn=lambda: jnp.float32(0.0),
                      reduce_fn=jnp.maximum)
         absmax = _INT8_SCALES.get(site) if _int8_mode() == "2" else None
+        if _int8_mode() == "2" and absmax is None and site not in _INT8_WARNED:
+            # a mode-2 run with missing calibration silently degrades to the
+            # slower dynamic scale — make that visible once per site
+            _INT8_WARNED.add(site)
+            import warnings
+
+            warnings.warn(
+                f"SSGVC_INT8=2 but no calibrated scale for site '{site}' — "
+                "falling back to dynamic per-tensor scale (slower). "
+                "Run a calibration apply and set_int8_scales() before tracing.",
+                stacklevel=2)
         if absmax is not None:
             # static scale: quantize is elementwise with a constant — XLA
             # fuses it into the producer's epilogue (int8 HBM handoff)
+            _INT8_BAKED.add(site)
             s_x = jnp.float32(max(absmax, 1e-12) / 127.0)
         else:
             s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0

@@ -377,6 +377,10 @@ class VideoCodec:
         MaskPredictor the encoder ran, so both sides derive bit-identical
         mask chains (src/refactor/mask_prop_seg_video_model.py:365-368)."""
         m = self.dmc
+        # NOTE: calls mask_predictor directly (not DMC.predict_mask): the
+        # codec keeps its mask chain in the RAW domain even when packed_dmc
+        # runs the conv stages packed — ctx/ctx_t sit at H/8 x W/8 in both
+        # domains, and the FCN's bilinear resizes take the raw-res mask.
         return m.apply({"params": params},
                        method=lambda mod: mod.mask_predictor(prev_mask, ctx,
                                                              ctx_t))

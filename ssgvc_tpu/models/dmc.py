@@ -349,9 +349,6 @@ class DMC(nn.Module):
         c = self.cfg
         dt = self.dtype
         qp_total = c.qp_num + c.extra_qp
-        if c.packed_io and c.mask_source == "propagated":
-            raise ValueError("packed_io is incompatible with mask_prop "
-                             "(bilinear mask resize needs raw resolution)")
         # adaptor absorbs the frame's pixel_unshuffle(8): takes the RAW frame
         # (or, with packed_io, the already-unshuffled one — same params)
         self.feature_adaptor_i = DepthConvBlock(
@@ -404,6 +401,24 @@ class DMC(nn.Module):
         (src/models/video_model.py:335-336)."""
         shift = jnp.asarray(self.cfg.qp_shift, dtype=jnp.int32)
         return qp + jnp.take(shift, fa_idx)
+
+    def predict_mask(self, prev_mask, ctx, ctx_t):
+        """Decoder-side mask propagation, packed_io-aware.
+
+        With packed_io the mask circulates pixel-unshuffled
+        (B, H/8, W/8, 64); the propagation FCN's bilinear resizes need raw
+        resolution, so unpack just the 1-channel mask, predict, and repack
+        the logits. pixel_shuffle/unshuffle are lossless permutations, so
+        the packed chain is bit-identical to the raw-domain one (and the
+        1-ch 1080p permutes are ~2 MB — negligible next to the conv stack).
+        """
+        c = self.cfg
+        if c.packed_io:
+            from ..ops.pixel import pixel_shuffle, pixel_unshuffle
+            raw = pixel_shuffle(prev_mask, c.patch_size)
+            logits = self.mask_predictor(raw, ctx, ctx_t)
+            return pixel_unshuffle(logits, c.patch_size)
+        return self.mask_predictor(prev_mask, ctx, ctx_t)
 
     def apply_feature_adaptor(self, dpb: Dict[str, jnp.ndarray], after_i):
         """Select the I- or P-frame feature adaptor.
@@ -510,7 +525,7 @@ class DMC(nn.Module):
         if c.mask_source == "propagated":
             # after the first P-frame, the decoder-side prediction replaces
             # the transmitted mask (mask_prop_seg_video_model.py:365-368)
-            pred_logits = self.mask_predictor(mask, ctx, ctx_t)
+            pred_logits = self.predict_mask(mask, ctx, ctx_t)
             if isinstance(after_i, bool):
                 current_mask = mask if after_i else pred_logits
             else:

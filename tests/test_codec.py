@@ -285,6 +285,59 @@ def test_mask_prop_decode_side_mask_chain():
         np.testing.assert_array_equal(dm, em)
 
 
+def test_mask_prop_packed_round_trip():
+    """mask_prop + packed_dmc: the P-loop conv stages run pixel-unshuffled
+    while the decoder-side mask chain stays raw-domain; the GOP round trip
+    is bit-exact encoder-vs-decoder and the chains match (the r04 bench
+    fast path previously excluded this variant)."""
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("mask_prop", **TINY))
+    rng = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    mask0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=mask0, train=False)["params"]
+    packed = VideoCodec(dmci, pi, dmc, pp, packed_dmc=True)
+    assert packed.dmc.cfg.packed_io
+
+    rngn = np.random.default_rng(11)
+    frames = [jnp.asarray(rngn.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+              for _ in range(3)]
+    gt_mask = jnp.asarray((rngn.uniform(0, 1, (1, 64, 64, 1)) > 0.6)
+                          .astype(np.float32))
+    qp = 24
+
+    enc_i = packed.dmci_compress(frames[0], qp)
+    dec_i = packed.dmci_decompress(enc_i["bit_stream"], 64, 64, qp)
+    feat0 = jnp.zeros((1, 8, 8, TINY["ch_d"]), jnp.float32)
+    dpb_e = {"frame": enc_i["x_hat"], "feature": feat0}
+    dpb_d = {"frame": dec_i["x_hat"], "feature": feat0}
+
+    streams, recons, enc_masks = [], [], []
+    m_e = gt_mask
+    for t in range(1, 3):
+        out = packed.dmc_compress(frames[t], qp, dpb_e, after_i=(t == 1),
+                                  mask=m_e)
+        assert out["dpb"]["frame"].shape[-1] == 192   # packed DPB carry
+        streams.append(out["bit_stream"])
+        recons.append(np.asarray(out["x_hat"]))
+        enc_masks.append(np.asarray(out["mask_out"]))
+        dpb_e, m_e = out["dpb"], out["mask_out"]
+
+    m_d = gt_mask
+    for t in range(1, 3):
+        out = packed.dmc_decompress(streams[t - 1], 64, 64, qp, dpb_d,
+                                    after_i=(t == 1), mask=m_d)
+        np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                      recons[t - 1])
+        np.testing.assert_array_equal(np.asarray(out["mask_out"]),
+                                      enc_masks[t - 1])
+        dpb_d, m_d = out["dpb"], out["mask_out"]
+
+
 @pytest.mark.parametrize("profile", ["gaussian", "laplace"])
 def test_coder_profile_round_trip(profile):
     """Refactor GaussianEncoder profiles: 256-level 0.11/0.01-64 tables,

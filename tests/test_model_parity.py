@@ -196,7 +196,7 @@ def test_dmc_accepts_packed_4ch_input():
                                   np.asarray(out_packed["dpb"]["frame"]))
 
 
-@pytest.mark.parametrize("variant", ["performance", "fast"])
+@pytest.mark.parametrize("variant", ["performance", "fast", "mask_prop"])
 def test_packed_io_matches_raw(variant):
     """packed_io=True on pre-unshuffled inputs produces the SAME outputs as
     the raw-domain model with the same params (the 8x8 patching is a
@@ -237,3 +237,9 @@ def test_packed_io_matches_raw(variant):
             np.asarray(out_raw["dpb"]["feature"]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(out_packed["bpp"]),
                                    np.asarray(out_raw["bpp"]), rtol=1e-5)
+        if variant == "mask_prop":
+            # the propagated mask chain must match between domains too
+            # (predict_mask unpacks/repacks the 1-ch mask losslessly)
+            np.testing.assert_allclose(
+                np.asarray(pixel_shuffle(out_packed["mask_pred"], 8)),
+                np.asarray(out_raw["mask_pred"]), atol=2e-5)

@@ -147,16 +147,29 @@ class PriorOut(NamedTuple):
 
 def compress_prior_2x(y: jnp.ndarray, common_params: jnp.ndarray,
                       spatial_prior: Callable[[jnp.ndarray], jnp.ndarray],
-                      rng: Optional[jax.Array], train: bool) -> PriorOut:
+                      rng: Optional[jax.Array], train: bool,
+                      fm_s: Optional[jnp.ndarray] = None) -> PriorOut:
     """Two-pass checkerboard prior for P-frames
     (src/models/common_model.py:121-149).
 
     common_params carries (q_dec, scales, means) stacked on channels; q_dec is
     clamped at 0.5 and folded into y as a reciprocal before quantization.
+
+    ``fm_s`` (optional): per-channel feature-modulation scale, shape
+    broadcastable to (B, 1, 1, C) — folded into the coded domain as y/fm_s
+    with the FIRST pass's scales/means divided likewise, and multiplied back
+    into y_hat after dequant (the second pass's spatial prior already
+    predicts in the divided domain). Mirrors the refactor hook
+    (src/refactor/common_model.py:147-188); unused by the live reference
+    variants but exposed for parity.
     """
     q_dec, scales, means = jnp.split(common_params, 3, axis=-1)
     q_dec = jnp.maximum(q_dec, 0.5)
     y = y * (1.0 / q_dec)
+    if fm_s is not None:
+        y = y / fm_s
+        scales = scales / fm_s
+        means = means / fm_s
 
     c, h, w = y.shape[-1], y.shape[1], y.shape[2]
     mask_0, mask_1 = checkerboard_masks_2x(c, h, w, dtype=y.dtype)
@@ -169,6 +182,8 @@ def compress_prior_2x(y: jnp.ndarray, common_params: jnp.ndarray,
     p1 = process_with_mask(y, scales1, means1, mask_1, rng1, train)
 
     y_hat = (p0.y_hat + p1.y_hat) * q_dec
+    if fm_s is not None:
+        y_hat = y_hat * fm_s
     return PriorOut(
         y_res=p0.y_res + p1.y_res,
         y_q_hat=p0.y_q_hat + p1.y_q_hat,
@@ -191,10 +206,16 @@ def separate_prior_image(params: jnp.ndarray):
 def compress_prior_4x(y: jnp.ndarray, common_params: jnp.ndarray,
                       reduction: Callable, adaptors: Tuple[Callable, Callable, Callable],
                       spatial_prior: Callable,
-                      rng: Optional[jax.Array], train: bool) -> PriorOut:
+                      rng: Optional[jax.Array], train: bool,
+                      fm_s: Optional[jnp.ndarray] = None) -> PriorOut:
     """Four-pass checkerboard prior for the intra model
-    (src/models/common_model.py:188-248)."""
+    (src/models/common_model.py:188-248). ``fm_s`` as in
+    :func:`compress_prior_2x` (src/refactor/common_model.py:227-298)."""
     q_enc, q_dec, scales, means = separate_prior_image(common_params)
+    if fm_s is not None:
+        y = y / fm_s
+        scales = scales / fm_s
+        means = means / fm_s
     reduced = reduction(common_params)
 
     c, h, w = y.shape[-1], y.shape[1], y.shape[2]
@@ -215,6 +236,8 @@ def compress_prior_4x(y: jnp.ndarray, common_params: jnp.ndarray,
         y_hat_so_far = y_hat_so_far + p.y_hat
 
     y_hat = y_hat_so_far * q_dec
+    if fm_s is not None:
+        y_hat = y_hat * fm_s
     return PriorOut(
         y_res=sum(p.y_res for p in passes),
         y_q_hat=sum(p.y_q_hat for p in passes),

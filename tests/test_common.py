@@ -75,3 +75,41 @@ def test_process_with_mask_eval():
     # quantized residuals are integers
     q = np.asarray(out.y_q_hat)
     np.testing.assert_allclose(q, np.round(q), atol=1e-6)
+
+
+def test_fm_s_hook_identity_and_fold():
+    """Optional fm_s feature modulation on the 2x prior
+    (src/refactor/common_model.py:147-188): fm_s=1 is bit-identical to no
+    fm_s; fm_s>1 shrinks the coded symbols (y quantized in the divided
+    domain) while y_hat returns to the original domain."""
+    from ssgvc_tpu.models.common import compress_prior_2x
+
+    rng = np.random.default_rng(0)
+    c = 8
+    y = jnp.asarray(rng.normal(size=(1, 6, 10, c)) * 4, jnp.float32)
+    common = jnp.asarray(
+        np.concatenate([np.ones((1, 6, 10, c)),                 # q_dec
+                        np.full((1, 6, 10, c), 1.0),            # scales
+                        rng.normal(size=(1, 6, 10, c)) * 0.1],  # means
+                       axis=-1), jnp.float32)
+
+    prior = lambda t: jnp.concatenate(
+        [jnp.ones_like(t[0]), jnp.zeros_like(t[0])], axis=-1)
+
+    base = compress_prior_2x(y, common, prior, None, False)
+    ident = compress_prior_2x(y, common, prior, None, False,
+                              fm_s=jnp.ones((1, 1, 1, c)))
+    np.testing.assert_array_equal(np.asarray(base.y_hat),
+                                  np.asarray(ident.y_hat))
+    np.testing.assert_array_equal(np.asarray(base.y_q_hat_write),
+                                  np.asarray(ident.y_q_hat_write))
+
+    fm = jnp.full((1, 1, 1, c), 4.0)
+    folded = compress_prior_2x(y, common, prior, None, False, fm_s=fm)
+    # coded symbols live in the divided domain: ~4x smaller magnitude
+    assert (np.abs(np.asarray(folded.y_q_hat_write)).mean()
+            < 0.5 * np.abs(np.asarray(base.y_q_hat_write)).mean())
+    # y_hat is multiplied back into the original domain (coarser quant, but
+    # same scale as y)
+    err = np.abs(np.asarray(folded.y_hat) - np.asarray(y)).mean()
+    assert err < 4.0 * 0.5 + 0.3  # within the coarsened quant step

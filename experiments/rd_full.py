@@ -51,12 +51,18 @@ def ckpt_path(variant: str) -> str:
 
 
 def sample_qp(host_rng) -> int:
-    """70% near the eval QPs (so their table rows get dense updates), 30%
-    uniform (so every row trains)."""
-    if host_rng.uniform() < 0.7:
+    """55% near the eval QPs (so their table rows get dense updates), 25%
+    uniform (so every row trains), 20% at the ladder extremes ([0,8) and
+    [56,64)) — mirrors data.device_synth.sample_qp; see its docstring for
+    the r04 ladder-compression rationale."""
+    u = host_rng.uniform()
+    if u < 0.55:
         return int(np.clip(host_rng.choice(EVAL_QPS) + host_rng.integers(-3, 4),
                            0, 63))
-    return int(host_rng.integers(0, 64))
+    if u < 0.80:
+        return int(host_rng.integers(0, 64))
+    e = int(host_rng.integers(0, 8))
+    return e if host_rng.uniform() < 0.5 else 63 - e
 
 
 def dmci_ckpt_path() -> str:

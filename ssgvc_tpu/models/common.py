@@ -24,7 +24,7 @@ from ..layers.quant import noise_quant, ste_round
 # checkerboard masks (src/models/common_model.py:92-169)
 # ---------------------------------------------------------------------------
 
-def qp_gain_ramp_init(lo: float = 0.3, hi: float = 4.0,
+def qp_gain_ramp_init(lo: float = 0.25, hi: float = 5.0,
                       inverse: bool = False):
     """Initializer for per-QP gain tables of shape (qp_total, C): a
     geometric ramp from ``lo`` (qp 0) to ``hi`` (last row), constant across
@@ -32,7 +32,9 @@ def qp_gain_ramp_init(lo: float = 0.3, hi: float = 4.0,
     more bits, matching lambda(qp) rising 50 -> 38400, so the variable-rate
     ladder exists at step 0 of a from-scratch run. The reference inits ones
     (src/models/video_model.py:201-202) and relies on DCVC-RT pretrained
-    tables; checkpoint import overwrites this init either way."""
+    tables; checkpoint import overwrites this init either way. The 20x
+    lo->hi span (widened from 13x after the r04 2.1 dB QP-ladder
+    compression) gives QP 8->56 a ~9x latent-magnitude ratio at init."""
     def init(key, shape, dtype=jnp.float32):
         ramp = jnp.exp(jnp.linspace(jnp.log(lo), jnp.log(hi), shape[0]))
         if inverse:

@@ -41,11 +41,13 @@ def main():
     # vary per marathon cycle so continuation cycles see fresh data/QP orders
     cycle_seed = (int(argv[argv.index("--seed") + 1])
                   if "--seed" in argv else 0)
-    tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
-    dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
+    profile = (argv[argv.index("--profile") + 1]
+               if "--profile" in argv else "tiny")
+    tiny = profile == "tiny"
+    # shares rd_full's dims + checkpoint-path tag (tiny/mid/half)
+    rd_full.set_profile(profile)
+    dmc_kw, dmci_kw = rd_full.MID_DMC, rd_full.MID_DMCI
     recon_skip = "--recon-skip" in argv
-    # share rd_full's profile/recipe-tagged checkpoint naming
-    rd_full.PROFILE = "tiny" if tiny else "mid"
     rd_full.RECON_SKIP = recon_skip
 
     import time

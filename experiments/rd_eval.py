@@ -47,7 +47,9 @@ def _trivial_bounds(clips):
 
 def main():
     argv = sys.argv[1:]
-    tiny = "--profile" not in argv or argv[argv.index("--profile") + 1] == "tiny"
+    profile = (argv[argv.index("--profile") + 1]
+               if "--profile" in argv else "tiny")
+    tiny = profile == "tiny"
     crops = ([int(c) for c in argv[argv.index("--crops") + 1].split(",")]
              if "--crops" in argv else [64, 192])
     # full-range sweep: the trained model is variable-rate over qp 0..63
@@ -55,11 +57,11 @@ def main():
     # training EVAL_QPS subset [8..56] covers only ~130x of it
     qps = ([int(q) for q in argv[argv.index("--qps") + 1].split(",")]
            if "--qps" in argv else EVAL_QPS)
-    dmc_kw, dmci_kw = (TINY_DMC, TINY_DMCI) if tiny else (MID_DMC, MID_DMCI)
-    # share rd_full's profile/recipe-tagged checkpoint naming; default to the
-    # recon-skip recipe when its checkpoints exist (the round-4 marathon),
-    # falling back to the plain tag (round-3 runs)
-    rd_full.PROFILE = "tiny" if tiny else "mid"
+    # shares rd_full's dims + checkpoint-path tag (tiny/mid/half); default
+    # to the recon-skip recipe when its checkpoints exist (the round-4
+    # marathon), falling back to the plain tag (round-3 runs)
+    rd_full.set_profile(profile)
+    dmc_kw, dmci_kw = rd_full.MID_DMC, rd_full.MID_DMCI
     rd_full.RECON_SKIP = True
     any_skip = any(os.path.isdir(rd_full.ckpt_path(v))
                    for v in ("performance", "plain"))
@@ -78,7 +80,7 @@ def main():
     from ssgvc_tpu.training.trainer import Trainer
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
 
-    results = {"profile": "tiny" if tiny else "mid", "crops": {}}
+    results = {"profile": profile, "crops": {}}
     cfg = TrainConfig()
     for crop in crops:
         # default matches the training distribution of every current

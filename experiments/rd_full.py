@@ -41,6 +41,22 @@ TINY_DMCI = MODEL_PROFILES["rd-tiny"]["dmci"]
 
 CKPT_EXTRA = ""  # extra namespace tag (e.g. "-roisub" for class-filter masks)
 
+#: CLI profile name -> MODEL_PROFILES key for the RD harness size tiers
+RD_PROFILES = {"tiny": "rd-tiny", "mid": "rd-mid", "half": "rd-half"}
+
+
+def set_profile(profile: str) -> None:
+    """One place every RD entry point (rd_tpu/rd_eval/rd_continue) resolves
+    --profile: sets the model dims AND the checkpoint-path tag together so a
+    profile switch can never restore shape-mismatched params."""
+    global MID_DMC, MID_DMCI, PROFILE
+    if profile not in RD_PROFILES:
+        raise SystemExit(f"--profile must be one of {sorted(RD_PROFILES)}, "
+                         f"got {profile}")
+    p = MODEL_PROFILES[RD_PROFILES[profile]]
+    MID_DMC, MID_DMCI = p["dmc"], p["dmci"]
+    PROFILE = profile
+
 
 def ckpt_path(variant: str) -> str:
     """Checkpoint dir encodes profile + recipe so a --profile or --recon-skip

@@ -436,11 +436,9 @@ def main():
     # the TPU runner trains mid fast enough to matter
     profile = (argv[argv.index("--profile") + 1]
                if "--profile" in argv else "tiny")
-    if profile == "tiny":
-        rd_full.MID_DMC, rd_full.MID_DMCI = rd_full.TINY_DMC, rd_full.TINY_DMCI
-        rd_full.PROFILE = "tiny"
-    elif profile != "mid":
-        raise SystemExit(f"--profile must be tiny or mid, got {profile}")
+    # "half" = half the published width (ch_d=128) — the scale-up step
+    # showing the recipe transfers toward the full model (VERDICT r04 #6)
+    rd_full.set_profile(profile)
     rd_full.LNORM = lnorm
     # TPU sizing: at tiny-profile shapes the step is LATENCY-bound (hundreds
     # of small ops per GOP step), so batch is nearly free on the chip — keep

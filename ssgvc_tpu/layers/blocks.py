@@ -249,7 +249,14 @@ def conv(features, kernel_size=1, stride=1, padding=0, groups=1, *, name=None,
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
-    if groups == 1 and _int8_mode() != "0":
+    # SSGVC_INT8_SCOPE=3x3 restricts quantization to the 3x3 sites only:
+    # the probe (artifacts/probe_int8.json) shows 1.69x on 3x3 convs but
+    # only 1.16x on 1x1 @ model shapes, and full-scope static int8 measured
+    # SLOWER full-model (110.6 vs 125.7 fps, r05) — the dequant epilogue
+    # on every 1x1 breaks more fusion than the MXU rate buys.
+    scope_ok = (_os.environ.get("SSGVC_INT8_SCOPE", "all") != "3x3"
+                or kernel_size == 3)
+    if groups == 1 and _int8_mode() != "0" and scope_ok:
         return QuantConv(
             features=features,
             kernel_size=(kernel_size, kernel_size),

@@ -46,10 +46,16 @@ def _quantize_rows(pmf: np.ndarray, tail: np.ndarray, lengths: np.ndarray,
 
 
 def build_z_cdf_tables(bit_estimator_params, qp_num: int, channel: int,
-                       scan_range: int = 8, precision: int = 16) -> CdfTables:
+                       scan_range: int = 16, precision: int = 16) -> CdfTables:
     """Per-(qp, channel) factorized-prior tables; rows ordered qp*C + c so the
     coder's ``start_offset = qp * C`` convention holds
-    (src/models/entropy_models.py:207-219)."""
+    (src/models/entropy_models.py:207-219).
+
+    ``scan_range`` widened 8 -> 16 (r05): the support search below still
+    SHRINKS each row to where the trained CDF's mass lives, but a trained
+    high-QP z row whose mass extends past +-8 previously got truncated and
+    its symbols escape-coded (one contributor to the r04 high-QP
+    estimated-vs-real bpp gap)."""
     be = BitEstimator(qp_num, channel)
     index = jnp.arange(qp_num, dtype=jnp.int32)
 

@@ -559,7 +559,14 @@ class DMC(nn.Module):
         if c.legacy_old:
             bits_y = gaussian_bits_cdf(prior.y_q_hat_write, prior.scales_hat)
         else:
-            y_for_bit = jnp.clip(prior.y_q_hat_write, -6.0, 6.0)
+            # The reference clamps to +-6 "to keep z-scores sane"
+            # (src/refactor/seg_video_model.py:347) — torch needs it, but it
+            # UNDERCOUNTS the symbol tail exactly where high-QP rates live
+            # (r04: 15-19% estimated-vs-real bpp gap at QP56). gaussian_bits
+            # here is already z-clipped and prob-floored, so we clamp only
+            # to the coder's actual symbol domain (+-127, the int8 packed
+            # (sym<<8)|idx stream format — coding/codec.py SYM_MIN/MAX).
+            y_for_bit = jnp.clip(prior.y_q_hat_write, -127.0, 127.0)
             bits_y = gaussian_bits(y_for_bit, prior.scales_hat)
         bits_z = self.bit_estimator_z.bits(z_hat_write, qp)
         bpp_y = bpp_from_bits(bits_y, pixel_num)

@@ -109,7 +109,7 @@ def test_z_tables_round_trip():
     t = build_z_cdf_tables(params, qp_num, ch)
     assert t.cdfs.shape[0] == qp_num * ch
     _assert_rows_valid(t)
-    assert (t.offsets <= 0).all() and (t.offsets >= -8).all()
+    assert (t.offsets <= 0).all() and (t.offsets >= -16).all()
 
     ec = EntropyCoder()
     g = ec.add_cdf(t.cdfs, t.lengths, t.offsets)
@@ -125,3 +125,51 @@ def test_z_tables_round_trip():
         ec.decode_z(len(z), g, start_offset=qp * ch, per_channel_size=per_ch)
         np.testing.assert_array_equal(ec.get_decoded_tensor(),
                                       z.astype(np.int32))
+
+
+def test_estimator_vs_coder_bits_gap():
+    """The differentiable rate estimate (gaussian_bits on +-127-clipped
+    symbols — models/dmc.py bit path) must track the REAL rANS stream size
+    within a few percent across the whole rate range, including high-rate
+    rows (the r04 curves showed 15-19% undercount at QP56 from the old +-6
+    symbol clamp). Synthetic oracle: symbols drawn from the same rounded
+    Gaussians the tables model, so table quantization + escapes + stream
+    overhead are the only gap sources."""
+    import math
+
+    from ssgvc_tpu.models.entropy import gaussian_bits
+
+    # the codec's actual table geometry (coding/codec.py default profile):
+    # pmf support covers 3.9 sigma of the largest table scale
+    t = build_y_cdf_tables(scan_range=min(64, int(math.ceil(3.9 * 16.0))))
+    ec = EntropyCoder()
+    g = ec.add_cdf(t.cdfs, t.lengths, t.offsets)
+    rng = np.random.default_rng(11)
+    n = 20000
+
+    # measured r05 decomposition: in-table rows code within +0.2% of the
+    # estimate; sigma>scale_max clamps to the top row and costs +1.8% up to
+    # 1.5x scale_max (the old +-6 symbol clamp, not the coder, caused the
+    # r04 15-19% undercount: it alone hides 4-9% at sigma 4-8)
+    for lo, hi, tol_pct in [(0.11, 2.0, 2.0),    # low-rate rows
+                            (2.0, 16.0, 2.0),    # high-rate rows (in-table)
+                            (0.11, 16.0, 2.0),   # full mixed range
+                            (16.0, 24.0, 4.0)]:  # out-of-table scales
+        scales = np.exp(rng.uniform(np.log(lo), np.log(hi), n)).astype(
+            np.float32)
+        symbols = np.round(rng.normal(0.0, scales)).astype(np.int32)
+        symbols = np.clip(symbols, -127, 127)
+
+        est_bits = float(np.sum(np.asarray(gaussian_bits(
+            symbols.astype(np.float32), scales))))
+
+        packed = np.asarray(build_indexes_encoder(symbols, scales))
+        ec.reset()
+        ec.encode_y(packed.astype(np.int16), g)
+        ec.flush()
+        real_bits = len(ec.get_encoded_stream()) * 8
+
+        gap_pct = 100.0 * (real_bits - est_bits) / est_bits
+        assert abs(gap_pct) < tol_pct, (
+            f"sigma in [{lo}, {hi}]: est {est_bits:.0f} vs real "
+            f"{real_bits} bits ({gap_pct:+.1f}%)")

@@ -51,13 +51,25 @@ def evaluate_gop_estimated(dmci, params_i, dmc, params_p, frames, masks,
            "feature": jnp.zeros((1, frames.shape[1] // 8,
                                  frames.shape[2] // 8, dmc.cfg.ch_d),
                                 jnp.float32)}
+    propagated = dmc.cfg.mask_source == "propagated"
+    mask_carry = None
     for t in range(1, frames.shape[0]):
         fa_idx = index_map[t % len(index_map)]
         curr_qp = qp + qp_shift[fa_idx]
         x = jnp.asarray(frames[t])[None]
-        m = jnp.asarray(masks[t])[None]
+        # mask_prop semantics: the model's ``mask`` input is the chain CARRY
+        # (previous frame's mask) — GT only at the first P-frame; afterwards
+        # the decoder-side prediction propagates. Passing the current GT
+        # here (the old behavior) silently leaked per-frame segmentation to
+        # the eval. Metrics below always score against the GT mask.
+        if propagated and mask_carry is not None:
+            m = mask_carry
+        else:
+            m = jnp.asarray(masks[t])[None]
         out = dmc.apply({"params": params_p}, x, jnp.int32(curr_qp), dpb,
                         after_i=(t == 1), mask=m, train=False)
+        if propagated:
+            mask_carry = (m if t == 1 else out["mask_pred"])
         rec = np.asarray(out["dpb"]["frame"][0])
         results.append(_frame_metrics("P", float(out["bpp"][0]), frames[t],
                                       rec, masks[t]))
@@ -94,10 +106,19 @@ def make_batched_gop_eval(dmci, dmc, index_map: Sequence[int],
                "feature": jnp.zeros(
                    (frames.shape[0], frames.shape[2] // ps,
                     frames.shape[3] // ps, dmc.cfg.ch_d), jnp.float32)}
+        propagated = dmc.cfg.mask_source == "propagated"
+        mask_carry = None
         for t in range(1, seq_len):
             curr_qp = qp + qp_shift[index_map[t % len(index_map)]]
+            # mask_prop: GT mask only at the first P-frame, the decoder-side
+            # prediction carries the chain after (same fix as
+            # evaluate_gop_estimated — GT per frame would leak segmentation)
+            m = (mask_carry if propagated and mask_carry is not None
+                 else masks[:, t])
             o = dmc.apply({"params": params_p}, frames[:, t], curr_qp, dpb,
-                          after_i=(t == 1), mask=masks[:, t], train=False)
+                          after_i=(t == 1), mask=m, train=False)
+            if propagated:
+                mask_carry = (m if t == 1 else o["mask_pred"])
             recons.append(o["dpb"]["frame"])
             bpps.append(o["bpp"])
             dpb = o["dpb"]

@@ -182,10 +182,52 @@ def test_batched_eval_matches_per_clip(models):
     full = evaluate_rd_batched(run, pi, pp, clips, qps=[8, 48],
                                compute_msssim=True)
     # batched and per-clip traces fuse differently in XLA: tolerance is
-    # float-noise-sized (observed max |d bpp| ~4e-6), not semantic
-    for key, atol in (("bpp", 1e-4), ("psnr", 1e-2), ("roi_psnr", 1e-2)):
+    # float-noise-sized, not semantic. bpp noise grew from ~4e-6 to ~4e-4
+    # when the bit-estimate symbol clamp widened from +-6 to +-127 (r05): a
+    # schedule-dependent rounding flip on one tail symbol now contributes
+    # its true (large) bit cost instead of a clamped one.
+    for key, atol in (("bpp", 2e-3), ("psnr", 1e-2), ("roi_psnr", 1e-2)):
         np.testing.assert_allclose(fast[key], ref_curve[key], atol=atol,
                                    err_msg=key)
         np.testing.assert_allclose(full[key], ref_curve[key], atol=atol,
                                    err_msg=key)
     assert fast["msssim"] == [None, None]  # 64px < 88px floor anyway
+
+
+def test_evaluate_gop_mask_prop_chain_carry():
+    """mask_prop GOP eval must feed the model the mask CHAIN (GT only at the
+    first P-frame), matching the codec's decoder-side propagation — not the
+    per-frame GT (which leaks segmentation the decoder wouldn't have)."""
+    rng = jax.random.PRNGKey(4)
+    dmci = DMCI(DMCIConfig.tiny())
+    dmc = DMC(DMCConfig.variant("mask_prop", **TINY))
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    m0 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    dpb0 = {"frame": x0, "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]),
+                                              jnp.float32)}
+    pi = dmci.init({"params": rng}, x0, jnp.int32(0), train=False)["params"]
+    pp = dmc.init({"params": rng}, x0, jnp.int32(0), dpb0,
+                  after_i=jnp.bool_(True), mask=m0, train=False)["params"]
+
+    nrng = np.random.default_rng(9)
+    frames = nrng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    masks = (nrng.uniform(0, 1, (4, 64, 64, 1)) > 0.6).astype(np.float32)
+
+    res = evaluate_gop_estimated(dmci, pi, dmc, pp, frames, masks, qp=30,
+                                 index_map=[0], qp_shift=[0])
+
+    # manual chain-carry oracle
+    out = dmci.apply({"params": pi}, jnp.asarray(frames[0])[None],
+                     jnp.int32(30), train=False)
+    dpb = {"frame": out["dpb"]["frame"],
+           "feature": jnp.zeros((1, 8, 8, TINY["ch_d"]), jnp.float32)}
+    carry = None
+    for t in range(1, 4):
+        m = jnp.asarray(masks[t])[None] if carry is None else carry
+        o = dmc.apply({"params": pp}, jnp.asarray(frames[t])[None],
+                      jnp.int32(30), dpb, after_i=(t == 1), mask=m,
+                      train=False)
+        carry = m if t == 1 else o["mask_pred"]
+        np.testing.assert_allclose(float(o["bpp"][0]), res[t]["bpp"],
+                                   rtol=1e-6)
+        dpb = o["dpb"]

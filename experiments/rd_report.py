@@ -67,7 +67,9 @@ def plot_rd_curves(latest, out_png):
 
     series = []  # (name, curve, color, marker)
     for name, color, marker in (("performance", "#2a78d6", "o"),
-                                ("plain", "#eb6834", "s")):
+                                ("plain", "#eb6834", "s"),
+                                ("fast", "#2f9e4f", "^"),
+                                ("mask_prop", "#9b5de5", "D")):
         c = (latest.get("variants", {}).get(name) or {}).get("estimated_rd")
         if c:
             series.append((name, c, color, marker))
@@ -146,16 +148,39 @@ def main():
             "| round | fps | ms/frame | MFU v5e | note |", "|---|---|---|---|---|"]
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         r = os.path.basename(path)[len("BENCH_"):-len(".json")]
-        b = json.load(open(path))
-        b = b.get("parsed", b)  # driver wraps the bench line under "parsed"
+        raw = json.load(open(path))
+        b = raw.get("parsed", raw)  # driver wraps the bench line as "parsed"
+        if b is None:
+            # r04: the driver's run was KILLED at its timeout (rc=124) with
+            # no JSON line — the honesty ledger keeps the row (the r05
+            # orchestrator/worker deadline rebuild of bench.py exists
+            # because of this)
+            note = f"driver timeout rc={raw.get('rc')} — no JSON line"
+            out.append(f"| {r} | — | — | — | {note} |")
+            continue
         note = b.get("error", b.get("baseline_note", ""))[:60]
         out.append(f"| {r} | {_fmt(b.get('value'), 1)} | "
                    f"{_fmt(b.get('ms_per_frame'), 2)} | "
                    f"{_fmt(b.get('mfu_pct_v5e'), 1)} | {note} |")
     out += ["",
-            "Builder-measured best (TPU v5e, packed_io + Concat1x1, commit "
-            "b6a810c): **124 fps / 8.06 ms/frame / 59% MFU**. "
-            "`bench.py` prints the driver JSON line.", ""]
+            "Builder-measured best (TPU v5e, packed_io + Concat1x1): "
+            "**125.7 fps / 7.96 ms/frame / 59.9% MFU** (r05, "
+            "artifacts/bench_r05_int8_ab.json). "
+            "`bench.py` prints the driver JSON line and is deadline-proof "
+            "since r05 (orchestrator/worker + SSGVC_BENCH_DEADLINE).", ""]
+
+    # ---- int8 A/B (r05) --------------------------------------------------
+    iab = _load("artifacts/bench_r05_int8_ab.json")
+    if iab:
+        out += ["## W8A8 int8 A/B on the full 1080p model "
+                "(`artifacts/bench_r05_int8_ab.json`)", "",
+                "| mode | fps | ms/frame | MFU v5e |", "|---|---|---|---|"]
+        for r in iab.get("runs", []):
+            out.append(f"| {r['mode']} | {_fmt(r.get('fps'), 1)} | "
+                       f"{_fmt(r.get('ms_per_frame'), 2)} | "
+                       f"{_fmt(r.get('mfu_pct'), 1)} |")
+        out += ["", iab.get("verdict", ""), "",
+                iab.get("quality", ""), ""]
 
     # ---- bench battery: multi-stream serving + variant overhead ---------
     bat = _load("artifacts/bench_r04_battery.json")
@@ -252,7 +277,9 @@ def main():
                    for c in (a or {}).get("variants", {}).values())
 
     tpu_candidates = [(p, _load(p)) for p in
-                      ("artifacts/rd_tpu.json", "artifacts/rd_tpu_harvest.json")]
+                      ("artifacts/rd_tpu.json", "artifacts/rd_tpu_harvest.json",
+                       "artifacts/rd_tpu_r05a.json",
+                       "artifacts/rd_tpu_r05b.json")]
     tpu_candidates = [(p, a) for p, a in tpu_candidates if _complete(a)]
     if tpu_candidates:
         src, latest = max(tpu_candidates, key=lambda pa: _total_score(pa[1]))
@@ -398,6 +425,49 @@ def main():
                 f"{_fmt(gdb, 2)} dB (expected negative: guidance spends "
                 f"background bits on the ROI).", ""]
 
+    # ---- mask_prop value quantification (r05) ---------------------------
+    mpv = _load("artifacts/mask_prop_value.json")
+    if mpv and mpv.get("variants"):
+        out += ["## mask_prop's trade: predicted masks vs a mask "
+                "side-channel (`artifacts/mask_prop_value.json`)", "",
+                "The reference's `mask_prop` exists so P-frames need no "
+                "per-frame segmentation and no mask side-channel "
+                "(src/refactor/mask_prop_seg_video_model.py:365-368) but "
+                "never quantifies the trade. Here, on roi_subset eval "
+                f"clips at {mpv.get('crop')}px: `fast` gets the GT mask "
+                "every P-frame; `mask_prop` gets it only at the first and "
+                "propagates decoder-side after.", ""]
+        for v, c in mpv["variants"].items():
+            out += [f"### `{v}`", "", rd_table(c, c.get("qp", mpv["qps"])),
+                    ""]
+        s = mpv.get("summary")
+        if s:
+            out += [f"ROI PSNR cost of predicted masks (fast − mask_prop, "
+                    f"per QP): {s['roi_psnr_delta_fast_minus_maskprop']} dB. "
+                    f"A transmit-masks design would additionally pay "
+                    f"**{_fmt(mpv['mask_side_channel_bpp_zlib'])} bpp** "
+                    "(zlib-packed binary masks) on top of fast's rate.", ""]
+
+    # ---- rd-half scale-up (r05) -----------------------------------------
+    half = _load("artifacts/rd_tpu_r05c.json")
+    if _complete(half):
+        out += ["## Scale-up: rd-half profile "
+                "(`artifacts/rd_tpu_r05c.json`)", "",
+                "Half the published width (ch_d=128 vs the reference's "
+                "256 — src/refactor/config.py:15-26), same recipe as the "
+                "rd-mid runs: shows the training recipe transfers toward "
+                "the full model size.", ""]
+        for v, c in half["variants"].items():
+            curve = c.get("estimated_rd")
+            if curve:
+                out += [f"### rd-half / `{v}`", "",
+                        rd_table(curve, curve.get("qp", [8, 20, 32, 44, 56])),
+                        ""]
+        if half.get("bd_psnr_roi_db") is not None:
+            out += [f"ROI BD-PSNR at matched rate (performance vs plain): "
+                    f"**{_fmt(half.get('bd_psnr_roi_db'), 2)} dB**; BD-rate "
+                    f"ROI {_fmt(half.get('bd_rate_roi_psnr_pct'), 1)}%.", ""]
+
     # ---- marathon trajectory (convergence evidence) ---------------------
     traj = _load("artifacts/rd_trajectory.json")
     if traj and traj.get("summary"):
@@ -529,6 +599,23 @@ def main():
         "```", "",
         "which loads DMCI strictly and the video model tolerantly "
         "(`ssgvc_tpu/utils/checkpoint.py load_pretrained`).", ""]
+
+    # ---- explicit de-scopes ---------------------------------------------
+    out += [
+        "## Explicit de-scopes", "",
+        "- **Vimeo-90k MP4-backed datasets** (reference "
+        "src/dataset/dataset_vimeo.py:112,421): this image has no video "
+        "decoder; the MP4 variants raise with a clear message, while the "
+        "PNG-septuplet and image datasets are implemented "
+        "(`ssgvc_tpu/data/vimeo.py`).",
+        "- **`fm_s` feature-modulation hook** (reference "
+        "src/refactor/common_model.py:147-188): implemented r05 on both "
+        "the 2x and 4x priors (`ssgvc_tpu/models/common.py`), "
+        "semantics-tested; unused by the live reference variants, exposed "
+        "for parity.",
+        "- **YOLO segmentation weights**: `data/build_cache.py` uses "
+        "ultralytics when installed; this image ships none, so cache "
+        "building falls back to the procedural mask generator.", ""]
 
     # ---- multichip ------------------------------------------------------
     rows = []

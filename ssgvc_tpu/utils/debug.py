@@ -116,3 +116,70 @@ class DebugProbe:
             print(f"[DebugProbe] step {self.step} grad_norm="
                   f"{tree_norm(grads):.3e}")
         return True
+
+
+def layer_forensics(model, variables, *args, top_k: int = 20,
+                    **kwargs) -> Dict[str, Dict[str, float]]:
+    """Per-module activation forensics — the JAX equivalent of the torch
+    DebugProbe's conv forward hooks (trainer_seg_video_model.py:127-288).
+
+    Runs one ``apply`` with ``capture_intermediates`` and returns
+    {module_path: {shape, dtype, norm, max_abs, nonfinite}} for every
+    module output, sorted by norm. Where torch logs shapes/contiguity per
+    conv call, XLA owns layout — so the useful forensics are numeric: which
+    stage first went non-finite, which stage's magnitude exploded."""
+    _, state = model.apply(variables, *args, **kwargs,
+                           capture_intermediates=True,
+                           mutable=["intermediates"])
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(state["intermediates"])
+    stats = {}
+    for path, leaf in flat.items():
+        # leaf is a tuple of call outputs; take the first array-like of each
+        for out in (leaf if isinstance(leaf, tuple) else (leaf,)):
+            if not hasattr(out, "shape"):
+                continue
+            arr = np.asarray(out, np.float32)
+            stats["/".join(map(str, path))] = {
+                "shape": tuple(arr.shape),
+                "dtype": str(np.asarray(out).dtype),
+                "norm": float(np.linalg.norm(arr)),
+                "max_abs": float(np.abs(arr).max()) if arr.size else 0.0,
+                "nonfinite": int((~np.isfinite(arr)).sum()),
+            }
+            break
+    return dict(sorted(stats.items(), key=lambda kv: -kv[1]["norm"])[:top_k])
+
+
+def cpu_cross_check(fn, *args, atol: float = 1e-4) -> Dict[str, float]:
+    """One-step CPU cross-check — the torch DebugProbe's optional CPU
+    re-run (trainer_seg_video_model.py:341-369): run ``fn`` on the default
+    backend AND on the host CPU backend, return per-output max |diff|.
+
+    Use to distinguish genuine numerics bugs from accelerator-specific
+    behavior (e.g. bf16 matmul accumulation). Raises RuntimeError when no
+    CPU backend coexists in this process (the axon-tunneled image keeps
+    one)."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError as e:
+        raise RuntimeError(f"no CPU backend for cross-check: {e}")
+
+    out_default = fn(*args)
+    cpu_args = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, cpu) if hasattr(x, "shape") else x, args)
+    with jax.default_device(cpu):
+        out_cpu = fn(*cpu_args)
+
+    diffs = {}
+    flat_d, _ = jax.tree_util.tree_flatten_with_path(out_default)
+    flat_c = jax.tree_util.tree_leaves(out_cpu)
+    for (path, a), b in zip(flat_d, flat_c):
+        name = jax.tree_util.keystr(path)
+        d = float(np.max(np.abs(np.asarray(a, np.float32)
+                                - np.asarray(b, np.float32))))
+        diffs[name] = d
+        if d > atol:
+            print(f"[cpu_cross_check] {name}: max|diff|={d:.3e} > {atol}")
+    return diffs

@@ -488,3 +488,40 @@ def test_vimeo_frame_cache_split_merge_and_nested_keys(tmp_path):
     ds_again = Vimeo90kMP4Dataset(str(tmp_path), split="train", crop_size=32,
                                   n_frames=7, use_cache=True)
     assert len(ds_again.paths) == 1
+
+
+def test_layer_forensics_and_cpu_cross_check():
+    """DebugProbe forensics: per-module activation stats via
+    capture_intermediates (torch conv-hook equivalent) and the CPU
+    cross-check both work on a tiny DMC forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssgvc_tpu.config import DMCConfig
+    from ssgvc_tpu.models.dmc import DMC
+    from ssgvc_tpu.utils.debug import cpu_cross_check, layer_forensics
+
+    tiny = dict(ch_d=16, ch_y=8, ch_z=8, ch_recon=16)
+    model = DMC(DMCConfig.variant("performance", **tiny))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    m = jnp.asarray((rng.uniform(0, 1, (1, 64, 64, 1)) > 0.7), jnp.float32)
+    dpb = {"frame": x, "feature": jnp.zeros((1, 8, 8, 16), jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), x, jnp.int32(32), dpb,
+                        after_i=True, mask=m, train=False)["params"]
+
+    stats = layer_forensics(model, {"params": params}, x, jnp.int32(32),
+                            dpb, after_i=True, mask=m, train=False)
+    assert stats, "no intermediates captured"
+    assert all(s["nonfinite"] == 0 for s in stats.values())
+    assert any("encoder" in k or "decoder" in k or "recon" in k
+               for k in stats)
+
+    def fwd(x, m):
+        out = model.apply({"params": params}, x, jnp.int32(32), dpb,
+                          after_i=True, mask=m, train=False)
+        return {"frame": out["dpb"]["frame"], "bpp": out["bpp"]}
+
+    diffs = cpu_cross_check(fwd, x, m, atol=1e-3)
+    assert diffs and max(diffs.values()) < 1e-3  # same backend here: exact

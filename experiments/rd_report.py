@@ -182,6 +182,29 @@ def main():
         out += ["", iab.get("verdict", ""), "",
                 iab.get("quality", ""), ""]
 
+    # ---- r05 post-marathon battery --------------------------------------
+    b5 = _load("artifacts/bench_r05_battery.json")
+    if b5:
+        out += ["## r05 bench battery "
+                "(`scripts/post_marathon_bench_r05.sh`)", "",
+                "| config | fps | ms/frame | MFU v5e |", "|---|---|---|---|"]
+        for label, name in (("performance (default)", "default"),
+                            ("scoped-VMEM 64MiB", "vmem64"),
+                            ("plain", "plain")):
+            r = b5.get(name) or {}
+            if r.get("value"):
+                out.append(f"| {label} | **{_fmt(r['value'], 1)}** | "
+                           f"{_fmt(r.get('ms_per_frame'), 2)} | "
+                           f"{_fmt(r.get('mfu_pct_v5e'), 1)} |")
+            else:
+                out.append(f"| {label} | — | — | — |")
+        ov5 = b5.get("performance_overhead_vs_plain_pct")
+        if ov5 is not None:
+            out += ["", f"`performance` overhead vs `plain`: "
+                    f"**{_fmt(abs(ov5), 1)}%** (reference claims ~14%, "
+                    "reference README.md:7)."]
+        out.append("")
+
     # ---- bench battery: multi-stream serving + variant overhead ---------
     bat = _load("artifacts/bench_r04_battery.json")
     if bat:

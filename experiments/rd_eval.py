@@ -80,7 +80,18 @@ def main():
     from ssgvc_tpu.training.trainer import Trainer
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
 
-    results = {"profile": profile, "crops": {}}
+    # --ckpt-extra "-roisub" evaluates a namespaced checkpoint family (the
+    # r05 marathon trains all four variants under -roisub); --roi-subset
+    # switches the eval distribution to class-filter masks to match, and
+    # --variants widens the sweep beyond performance,plain
+    if "--ckpt-extra" in argv:
+        rd_full.CKPT_EXTRA = argv[argv.index("--ckpt-extra") + 1]
+    roi_subset = "--roi-subset" in argv
+    variants = (argv[argv.index("--variants") + 1].split(",")
+                if "--variants" in argv else ["performance", "plain"])
+
+    results = {"profile": profile, "crops": {},
+               "ckpt_extra": rd_full.CKPT_EXTRA, "roi_subset": roi_subset}
     cfg = TrainConfig()
     for crop in crops:
         # default matches the training distribution of every current
@@ -88,11 +99,12 @@ def main():
         eval_ds = SyntheticClipDataset(num_clips=8, seq_len=4,
                                        crop_size=crop, seed=777,
                                        texture="noise" if "--noise" in argv
-                                       else "smooth")
+                                       else "smooth",
+                                       roi_subset=roi_subset)
         clips = [eval_ds.__getitem__(i, rng=np.random.default_rng(900 + i))
                  for i in range(6)]
         per_variant = {"trivial_bounds": _trivial_bounds(clips)}
-        for variant in ("performance", "plain"):
+        for variant in variants:
             path = rd_full.ckpt_path(variant)
             if not os.path.isdir(path):
                 print(f"[skip] no checkpoint at {path}")

@@ -253,14 +253,25 @@ def evaluate_gop_coded(codec, frames, masks, qp: int,
     feat0 = jnp.zeros((1, h // 8, w // 8, codec.dmc.cfg.ch_d), jnp.float32)
     dpb_e = {"frame": enc["x_hat"], "feature": feat0}
     dpb_d = {"frame": dec["x_hat"], "feature": feat0}
+    # mask_prop: both sides carry the propagated mask chain (GT only at the
+    # first P-frame), mirroring the codec tests and the estimated-path eval
+    propagated = codec.dmc.cfg.mask_source == "propagated"
+    m_e = m_d = None
     for t in range(1, frames.shape[0]):
         fa_idx = index_map[t % len(index_map)]
         curr_qp = qp + qp_shift[fa_idx]
         x = jnp.asarray(frames[t])[None]
         m = jnp.asarray(masks[t])[None]
-        out = codec.dmc_compress(x, curr_qp, dpb_e, after_i=(t == 1), mask=m)
+        out = codec.dmc_compress(x, curr_qp, dpb_e, after_i=(t == 1),
+                                 mask=(m_e if propagated and m_e is not None
+                                       else m))
         dec = codec.dmc_decompress(out["bit_stream"], h, w, curr_qp, dpb_d,
-                                   after_i=(t == 1))
+                                   after_i=(t == 1),
+                                   mask=(m_d if propagated and m_d is not None
+                                         else m) if propagated else None)
+        if propagated:
+            m_e = out["mask_out"]
+            m_d = dec.get("mask_out", m_e)
         rec = np.asarray(dec["x_hat"][0])
         results.append(_frame_metrics(
             "P", len(out["bit_stream"]) * 8 / pixel_num, frames[t], rec,

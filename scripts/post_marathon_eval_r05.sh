@@ -26,6 +26,14 @@ echo "=== marathon done-marker seen $(date) ===" >> "$LOG"
 
 SCRUB="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu"
 
+# 0. MASK_TRAIN phase: the marathon trains mask_prop with the RD loss only,
+#    which reaches MaskPredictor just indirectly; the reference's dedicated
+#    BCE-only phase (MASK_TRAIN) is run here post hoc so the evaluated
+#    chain uses a predictor actually trained to predict masks.
+$SCRUB timeout 2400 python experiments/mask_train_phase.py 2000 \
+  --profile mid --crop 64 --batch 8 --budget-min 30 >> "$LOG" 2>&1
+echo "=== mask_train rc=$? $(date) ===" >> "$LOG"
+
 # 1. one sweep, both crops, all four variants: 192px estimated curves +
 #    the est-vs-real bpp gap on TRAINED checkpoints via the 64px coded path
 $SCRUB timeout 9000 python experiments/rd_eval.py \
@@ -41,7 +49,7 @@ echo "=== mask_prop_value rc=$? $(date) ===" >> "$LOG"
 
 $SCRUB python experiments/rd_report.py >> "$LOG" 2>&1 || true
 for i in 1 2 3 4 5; do
-  git add artifacts/rd_eval.json \
+  git add artifacts/rd_eval.json artifacts/mask_train_phase.json \
           artifacts/mask_prop_value.json artifacts/rd_curves.png \
           artifacts/rd_eval_curves_*px.png RESULTS.md \
           logs/post_eval_r05.log 2>/dev/null

@@ -315,6 +315,10 @@ def main():
         if (latest.get("recon_residual") or (full or {}).get(
                 "recon_residual")):
             recipe.append("recon_residual (copy-prev init)")
+        if latest.get("roi_subset"):
+            recipe.append("roi_subset class-filter masks (the distribution "
+                          "where mask conditioning carries "
+                          "pixel-uninferable information)")
         trained_on = (
             "ON the TPU chip (on-device synth batches, scanned mega-steps, "
             f"bs={latest.get('batch')}, ~150 GOP-steps/s)"

@@ -36,7 +36,11 @@ def main():
         flags = COMBOS[name]
         env = dict(os.environ)
         if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+            # r05 finding: client-side XLA_FLAGS are rejected at parse by the
+            # axon relay, but LIBTPU_INIT_ARGS DOES reach the server-side
+            # runtime (64 MiB scoped-vmem measurably changed the schedule)
+            env["LIBTPU_INIT_ARGS"] = (
+                env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
         try:
             out = subprocess.run(
                 [sys.executable, "bench.py"], env=env, capture_output=True,

@@ -57,6 +57,12 @@ def main():
     # training EVAL_QPS subset [8..56] covers only ~130x of it
     qps = ([int(q) for q in argv[argv.index("--qps") + 1].split(",")]
            if "--qps" in argv else EVAL_QPS)
+    # --ckpt-extra "-roisub" evaluates a namespaced checkpoint family (the
+    # r05 marathon trains all four variants under -roisub). MUST be set
+    # before the recon-skip autodetection below — it probes ckpt_path(),
+    # which bakes the namespace into the tag.
+    if "--ckpt-extra" in argv:
+        rd_full.CKPT_EXTRA = argv[argv.index("--ckpt-extra") + 1]
     # shares rd_full's dims + checkpoint-path tag (tiny/mid/half); default
     # to the recon-skip recipe when its checkpoints exist (the round-4
     # marathon), falling back to the plain tag (round-3 runs)
@@ -80,12 +86,9 @@ def main():
     from ssgvc_tpu.training.trainer import Trainer
     from ssgvc_tpu.utils.checkpoint import restore_checkpoint
 
-    # --ckpt-extra "-roisub" evaluates a namespaced checkpoint family (the
-    # r05 marathon trains all four variants under -roisub); --roi-subset
-    # switches the eval distribution to class-filter masks to match, and
-    # --variants widens the sweep beyond performance,plain
-    if "--ckpt-extra" in argv:
-        rd_full.CKPT_EXTRA = argv[argv.index("--ckpt-extra") + 1]
+    # --roi-subset switches the eval distribution to class-filter masks to
+    # match the -roisub checkpoints; --variants widens the sweep beyond
+    # performance,plain
     roi_subset = "--roi-subset" in argv
     variants = (argv[argv.index("--variants") + 1].split(",")
                 if "--variants" in argv else ["performance", "plain"])

@@ -67,9 +67,18 @@ class DMCConfig:
     # lossless permutation, so the codec math is identical, but the hot loop
     # sheds ~1.5 ms/frame of 1080p layout copies (profiled): callers
     # unshuffle once per batch instead of the model (un)shuffling per frame.
-    # Not supported with mask_source='propagated' (its bilinear mask resize
-    # is defined on raw-resolution masks).
+    # (mask_source='propagated' works too: DMC.predict_mask unpacks just
+    # the 1-ch mask for the bilinear FCN and repacks the logits.)
     packed_io: bool = False
+    # Sigma floor for the DIFFERENTIABLE rate estimate, matching the real
+    # coder's scale-table minimum (coding/codec.py scale_min=0.11): the
+    # coder clamps every sigma up to the first table row, so an estimate
+    # using the raw (smaller) sigma overcharges nonzero symbols there —
+    # measured 13-24% real-UNDER-estimate at QP8 on r05 trained
+    # checkpoints. 0.0 = reference-faithful (the reference never reconciled
+    # its estimator with a working coder; its get_y_gaussian_bits clamps
+    # only at 1e-5 — src/models/common_model.py:36-40).
+    bits_sigma_floor: float = 0.11
     # Geometric QP ramp for q_encoder/q_decoder at INIT (see DMCIConfig.
     # qp_ramp_init — same rationale; from-scratch variable-rate training).
     qp_ramp_init: bool = True

@@ -556,8 +556,10 @@ class DMC(nn.Module):
         if c.packed_io:
             pixel_num *= c.patch_size ** 2  # x is at 1/8 res; bpp is per
             #                                 SOURCE pixel
+        scales_for_bit = (jnp.maximum(prior.scales_hat, c.bits_sigma_floor)
+                          if c.bits_sigma_floor else prior.scales_hat)
         if c.legacy_old:
-            bits_y = gaussian_bits_cdf(prior.y_q_hat_write, prior.scales_hat)
+            bits_y = gaussian_bits_cdf(prior.y_q_hat_write, scales_for_bit)
         else:
             # The reference clamps to +-6 "to keep z-scores sane"
             # (src/refactor/seg_video_model.py:347) — torch needs it, but it
@@ -567,7 +569,7 @@ class DMC(nn.Module):
             # to the coder's actual symbol domain (+-127, the int8 packed
             # (sym<<8)|idx stream format — coding/codec.py SYM_MIN/MAX).
             y_for_bit = jnp.clip(prior.y_q_hat_write, -127.0, 127.0)
-            bits_y = gaussian_bits(y_for_bit, prior.scales_hat)
+            bits_y = gaussian_bits(y_for_bit, scales_for_bit)
         bits_z = self.bit_estimator_z.bits(z_hat_write, qp)
         bpp_y = bpp_from_bits(bits_y, pixel_num)
         bpp_z = bpp_from_bits(bits_z, pixel_num)

@@ -92,7 +92,8 @@ def test_dmc_variant_parity(variant, after_i):
                          ref_frame if after_i else None,
                          None if after_i else ref_feature, after_i)
 
-    cfg = DMCConfig.variant(variant, **TINY)
+    # reference-faithful rate estimate for the torch-oracle diff
+    cfg = DMCConfig.variant(variant, bits_sigma_floor=0.0, **TINY)
     fm = DMC(cfg)
     dpb = {"frame": jnp.asarray(nhwc(ref_frame)),
            "feature": jnp.asarray(nhwc(ref_feature))}
@@ -130,7 +131,7 @@ def test_dmc_old_parity():
 
     ref = _run_torch_dmc(tm, frame, qp, ref_frame, None, True)
 
-    cfg = DMCConfig.variant("old")
+    cfg = DMCConfig.variant("old", bits_sigma_floor=0.0)
     fm = DMC(cfg)
     dpb = {"frame": jnp.asarray(nhwc(ref_frame)),
            "feature": jnp.zeros((1, H // 8, W // 8, cfg.ch_d), jnp.float32)}

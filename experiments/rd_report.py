@@ -587,8 +587,12 @@ def main():
                         if isinstance(c, dict) and c.get("est_vs_real_bpp")]
             if gap_rows:
                 out += [f"Estimated vs real (rANS) bpp at {crop}px, same "
-                        "clip (mean over P frames; y tables span 3.9σ of "
-                        "the max table scale):", "",
+                        "clip (mean over P frames). r05 estimator: symbols "
+                        "clamped to the coder's ±127 domain (was ±6 — the "
+                        "r04 high-QP undercount) and sigma floored at the "
+                        "coder's scale_min 0.11 (`bits_sigma_floor` — the "
+                        "low-QP overcount); y tables span 3.9σ of the max "
+                        "table scale:", "",
                         "| variant | QP | estimated | real coded | gap% |",
                         "|---|---|---|---|---|"]
                 for v, gaps in gap_rows:

@@ -494,16 +494,14 @@ def main():
             out += [f"ROI BD-PSNR at matched rate (performance vs plain): "
                     f"**{_fmt(half.get('bd_psnr_roi_db'), 2)} dB**; BD-rate "
                     f"ROI {_fmt(half.get('bd_rate_roi_psnr_pct'), 1)}%.", "",
-                    "What transfers at this budget (~20 min/variant on one "
-                    "chip for a 4x-FLOPs model): stable from-scratch "
-                    "training (no gate collapse), monotone bpp, and the "
-                    "WIDEST QP ladder of any run — 5.5 dB PSNR span over "
-                    "QP 8-56 (the r05 end-weighted sampler + 20x gain "
-                    "ramp; rd-mid reached 2.6 dB, r04 2.1). The guided "
-                    "variant's ROI advantage has not emerged yet at this "
-                    "budget — at rd-mid it appears only after the 192px "
-                    "polish stage — so the BD row above reflects training "
-                    "budget, not architecture.", ""]
+                    "What transfers (~60 min/variant total on one chip for "
+                    "a 4x-FLOPs model): stable from-scratch training (no "
+                    "gate collapse), monotone bpp, the WIDEST QP ladder of "
+                    "any run — 5.1-5.5 dB PSNR span over QP 8-56 (the r05 "
+                    "end-weighted sampler + 20x gain ramp; rd-mid reached "
+                    "2.6 dB, r04 2.1) — and the seg-guidance ROI advantage "
+                    "itself, which was absent after the first 20-min slice "
+                    "and emerged with the continuation (BD row above).", ""]
 
     # ---- marathon trajectory (convergence evidence) ---------------------
     traj = _load("artifacts/rd_trajectory.json")

@@ -302,6 +302,7 @@ def main():
     tpu_candidates = [(p, _load(p)) for p in
                       ("artifacts/rd_tpu.json", "artifacts/rd_tpu_harvest.json",
                        "artifacts/rd_tpu_r05a.json",
+                       "artifacts/rd_tpu_r05d.json",
                        "artifacts/rd_tpu_r05b.json")]
     tpu_candidates = [(p, a) for p, a in tpu_candidates if _complete(a)]
     if tpu_candidates:
@@ -374,6 +375,26 @@ def main():
                 pct = (r - e) / e * 100 if (e and r) else None
                 out.append(f"| {qp} | {_fmt(e)} | {_fmt(r)} | {_fmt(pct, 1)} |")
             out.append("")
+
+    # ---- r05d: extra 192px polish of the headline pair -------------------
+    d5 = _load("artifacts/rd_tpu_r05d.json")
+    if _complete(d5) and latest is not d5:
+        out += ["## Extended 192px polish of the headline pair "
+                "(`artifacts/rd_tpu_r05d.json`)", "",
+                "performance+plain continued past the marathon's polish "
+                "slice (+32 min): ROI reaches ~29.9 dB and the guided "
+                "advantage widens.", ""]
+        for v in ("performance", "plain"):
+            curve = (d5["variants"].get(v) or {}).get("estimated_rd")
+            if curve:
+                out += [f"### polished / `{v}`", "",
+                        rd_table(curve, curve.get("qp", [8, 20, 32, 44, 56])),
+                        ""]
+        out += [f"ROI BD-PSNR at matched rate: "
+                f"**{_fmt(d5.get('bd_psnr_roi_db'), 2)} dB** (ROI BD-rate "
+                f"{_fmt(d5.get('bd_rate_roi_psnr_pct'), 1)}% — extreme "
+                "because the curves barely overlap in ROI-PSNR; BD-PSNR is "
+                "the robust statistic here).", ""]
 
     # ---- ROI-subset (class-filter mask) A/B ------------------------------
     sub = _load("artifacts/rd_tpu_roisub.json")

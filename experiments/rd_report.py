@@ -434,16 +434,24 @@ def main():
     # unextended baseline DMC. The roisub A/B above isolates CONDITIONING
     # only (both variants share the ROI loss); this one matches the README
     # protocol: performance w/ roi_weight=100 vs plain w/ roi_weight=0.
-    noroi = _load("artifacts/rd_tpu_noroi.json")
+    # prefer the r05 pair (anchor fine-tuned from the POLISHED plain ckpt,
+    # guided = the polished performance) over the r04 artifacts
+    noroi = (_load("artifacts/rd_tpu_r05_noroi.json")
+             or _load("artifacts/rd_tpu_noroi.json"))
     anchor = ((noroi or {}).get("variants", {})
               .get("plain", {}).get("estimated_rd"))
-    guided = (sub or {}).get("variants", {}) if sub else {}
+    guided_src = (d5 if _complete(d5) else sub)
+    guided = (guided_src or {}).get("variants", {})
     guided = guided.get("performance", {}).get("estimated_rd")
     if anchor and guided:
         sys.path.insert(0, REPO)
         from ssgvc_tpu.training.evaluate import bd_psnr, bd_rate
+        noroi_src = ("artifacts/rd_tpu_r05_noroi.json"
+                     if os.path.exists(os.path.join(
+                         REPO, "artifacts/rd_tpu_r05_noroi.json"))
+                     else "artifacts/rd_tpu_noroi.json")
         out += ["## Full seg-guidance package vs unguided baseline "
-                "(`artifacts/rd_tpu_noroi.json`)", "",
+                f"(`{noroi_src}`)", "",
                 "The reference's headline (+1-1.5 dB ROI PSNR, README.md:7) "
                 "compares guided training (ROI loss + mask input) against "
                 "the plain baseline DMC. Anchor: `plain` fine-tuned with "

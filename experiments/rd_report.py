@@ -164,8 +164,9 @@ def main():
                    f"{_fmt(b.get('mfu_pct_v5e'), 1)} | {note} |")
     out += ["",
             "Builder-measured best (TPU v5e, packed_io + Concat1x1): "
-            "**125.7 fps / 7.96 ms/frame / 59.9% MFU** (r05, "
-            "artifacts/bench_r05_int8_ab.json). "
+            "**126.6 fps / 7.90 ms/frame / 60.4% MFU** (r05 battery; "
+            "identical configs vary +-1 fps run-to-run — 125.7/126.5/126.6 "
+            "measured same-day). "
             "`bench.py` prints the driver JSON line and is deadline-proof "
             "since r05 (orchestrator/worker + SSGVC_BENCH_DEADLINE).", ""]
 
